@@ -1,0 +1,143 @@
+"""Perspective rectification: DLT homography + batched bilinear inverse warp.
+
+Replaces ``cv2.getPerspectiveTransform`` + ``cv2.warpPerspective`` (SURVEY
+§2.3). TPU-first design: one 8×8 linear solve per frame (tiny, batched with
+vmap), then a dense inverse-warp bilinear gather producing the canonical
+board image — static shapes, fully fused under jit.
+
+Coordinate convention: **OpenCV's** — integer coordinate i is the center of
+pixel i (so array index == coordinate). All corners flowing through the
+system (manual clicks, auto-detected, synthetic ground truth) use it.
+
+Canonical geometry (see cvconf): the four *corner intersections* of the
+goban map to the centers of the four corner cells, so intersection (r, c)
+sits at canonical coordinate (x, y) = ((c + 0.5) z - 0.5, (r + 0.5) z - 0.5)
+— the exact center of the z-wide index block [rz, rz+z) — and zone
+extraction is a pure reshape downstream.
+
+Corners are (4, 2) float arrays of (x, y) image coordinates ordered
+top-left, top-right, bottom-right, bottom-left (the reference's GobanCorners
+convex-hull ordering — SURVEY §2.1 boardfinder).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from camkifu_tpu.config import cvconf, guiconf
+
+
+def canonical_corners(gsize: int = guiconf.gsize,
+                      zone: int = cvconf.zone_size) -> jnp.ndarray:
+    """Canonical (x, y) targets of the 4 corner intersections, tl/tr/br/bl."""
+    lo = zone / 2.0 - 0.5
+    hi = gsize * zone - zone / 2.0 - 0.5
+    return jnp.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi]],
+                     dtype=jnp.float32)
+
+
+def _normalizer(pts: jnp.ndarray) -> jnp.ndarray:
+    """Hartley normalization transform: centroid → origin, RMS radius → √2.
+
+    Keeps the 8×8 DLT system well-conditioned in float32 (TPU has no native
+    f64); without it, pixel-scale coordinates lose ~1 px of accuracy.
+    """
+    mean = pts.mean(axis=0)
+    rms = jnp.sqrt(jnp.mean(jnp.sum((pts - mean) ** 2, axis=-1)))
+    s = jnp.sqrt(2.0) / jnp.maximum(rms, 1e-6)
+    zero = jnp.zeros((), jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    return jnp.stack([
+        jnp.stack([s, zero, -s * mean[0]]),
+        jnp.stack([zero, s, -s * mean[1]]),
+        jnp.stack([zero, zero, one]),
+    ])
+
+
+def homography_dlt(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """3×3 homography H with dst ~ H @ src for 4 point pairs (DLT, exact).
+
+    src, dst: (4, 2) float (x, y). Hartley-normalizes both point sets, solves
+    the 8×8 system with h33=1, then denormalizes.
+    """
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    t_src = _normalizer(src)
+    t_dst = _normalizer(dst)
+    src = apply_homography(t_src, src)
+    dst = apply_homography(t_dst, dst)
+    x, y = src[:, 0], src[:, 1]
+    u, v = dst[:, 0], dst[:, 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    # Rows for u: [x y 1 0 0 0 -ux -uy], rows for v: [0 0 0 x y 1 -vx -vy]
+    a_u = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], axis=1)
+    a_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], axis=1)
+    A = jnp.concatenate([a_u, a_v], axis=0)          # (8, 8)
+    b = jnp.concatenate([u, v], axis=0)              # (8,)
+    h = jnp.linalg.solve(A, b)
+    Hn = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+    H = jnp.linalg.inv(t_dst) @ Hn @ t_src
+    return H / H[2, 2]
+
+
+def apply_homography(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply 3×3 H to (..., 2) points (x, y)."""
+    xy1 = jnp.concatenate([pts, jnp.ones(pts.shape[:-1] + (1,), pts.dtype)],
+                          axis=-1)
+    out = xy1 @ H.T
+    return out[..., :2] / out[..., 2:3]
+
+
+def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                    ) -> jnp.ndarray:
+    """Sample img (H, W, C) at float coords; out-of-bounds clamps to edge.
+
+    x, y: any matching shape. Returns shape x.shape + (C,), float32.
+    """
+    h, w = img.shape[0], img.shape[1]
+    img = img.astype(jnp.float32)
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    p00 = img[y0, x0]
+    p01 = img[y0, x1]
+    p10 = img[y1, x0]
+    p11 = img[y1, x1]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = p00 * (1 - fx) + p01 * fx
+    bot = p10 * (1 - fx) + p11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def warp_to_canonical(frame: jnp.ndarray, corners: jnp.ndarray,
+                      gsize: int = guiconf.gsize,
+                      zone: int = cvconf.zone_size) -> jnp.ndarray:
+    """Rectify one frame (H, W, C) to the canonical (gsize*zone)² board image.
+
+    ``corners``: (4, 2) image (x, y) of the goban's corner intersections,
+    ordered tl/tr/br/bl. Inverse warp: for each canonical pixel, map through
+    the canonical→image homography and bilinear-sample the source frame —
+    the gather-friendly direction (no scatter).
+    """
+    size = gsize * zone
+    H = homography_dlt(canonical_corners(gsize, zone), corners.astype(jnp.float32))
+    # Every canonical pixel center (cv2 convention: index == coordinate).
+    us = jnp.arange(size, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(us, us, indexing="xy")        # (size, size)
+    src = apply_homography(H, jnp.stack([uu, vv], axis=-1))
+    return bilinear_sample(frame, src[..., 0], src[..., 1])
+
+
+# Batched variants: leading frame/stream axes.
+warp_batch = jax.vmap(warp_to_canonical, in_axes=(0, 0), out_axes=0)
+warp_batch_fixed = jax.vmap(warp_to_canonical, in_axes=(0, None), out_axes=0)
