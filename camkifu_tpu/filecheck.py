@@ -1,0 +1,168 @@
+"""filecheck — batch scoring harness: pipeline vs a reference SGF.
+
+Parity: the reference's ``test/mains`` filecheck (SURVEY §3.5/§4) — run the
+whole pipeline headless on a recorded video with a known reference SGF and
+report move-sequence agreement. This is the north-star accuracy metric
+(BASELINE.md: ≥99% agreement).
+
+Inputs: a video file (decoded on host via cv2), a directory of frames, or a
+``synth:N[:seed]`` spec that renders an N-move synthetic game with known
+ground truth (the oracle the reference never had — SURVEY §4 implication b).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.core.gamesync import MoveExtractor, score_moves
+from camkifu_tpu.gamemodel.kifu import Kifu
+
+
+def iter_video_frames(path: str, bounds=(0.0, 1.0)):
+    """Yield RGB uint8 frames from a video file (host-side cv2 decode)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if bounds != (0.0, 1.0):
+                h = frame.shape[0]
+                frame = frame[int(bounds[0] * h):int(bounds[1] * h)]
+            yield frame[:, :, ::-1].copy()  # BGR → RGB
+    finally:
+        cap.release()
+
+
+def batched(iterator, size: int):
+    """Group an iterator into (stacked ndarray, count) batches, padding the
+    tail by repeating the last frame (static shapes for jit)."""
+    buf = []
+    for item in iterator:
+        buf.append(item)
+        if len(buf) == size:
+            yield np.stack(buf), size
+            buf = []
+    if buf:
+        n = len(buf)
+        while len(buf) < size:
+            buf.append(buf[-1])
+        yield np.stack(buf), n
+
+
+def run_pipeline(frames_iter, corners: np.ndarray | None,
+                 batch: int = cvconf.frame_batch,
+                 gsize: int = guiconf.gsize,
+                 extractor: MoveExtractor | None = None,
+                 use_meta: bool = True,
+                 progress=None):
+    """Drive the jitted pipeline over all frames; return (extractor, stats).
+
+    corners=None → automatic board detection (board.bf_auto); otherwise the
+    fixed (4, 2) corner set is used (manual/BoardFinderManual semantics).
+    """
+    import jax.numpy as jnp
+
+    from camkifu_tpu import pipeline
+
+    extractor = extractor or MoveExtractor(gsize=gsize)
+    n_frames = 0
+    t0 = time.perf_counter()
+    state = None
+    corners_dev = None if corners is None else jnp.asarray(corners, jnp.float32)
+    for frames, n in batched(frames_iter, batch):
+        fb = jnp.asarray(frames)
+        if corners is None:
+            from camkifu_tpu.board import bf_auto
+            corners_dev = bf_auto.detect_batch_stable(fb)
+        if use_meta:
+            from camkifu_tpu.stone import sf_meta
+            if state is None:
+                state = sf_meta.init_state(gsize=gsize)
+            state, labels, conf = sf_meta.read_batch(state, fb, corners_dev)
+        else:
+            labels, conf = pipeline.read_board_batch(fb, corners_dev)
+        labels = np.asarray(labels)
+        for i in range(n):
+            extractor.advance(labels[i])
+        n_frames += n
+        if progress:
+            progress(n_frames)
+    dt = time.perf_counter() - t0
+    return extractor, {"frames": n_frames, "seconds": dt,
+                       "fps": n_frames / dt if dt > 0 else 0.0}
+
+
+def check(video_spec: str, ref_sgf: str | None, corners=None,
+          batch: int = cvconf.frame_batch, use_meta: bool = True) -> dict:
+    """Run the harness; return the score report dict."""
+    from camkifu_tpu.utils import synth
+
+    if video_spec.startswith("synth:"):
+        parts = video_spec.split(":")
+        n_moves = int(parts[1])
+        seed = int(parts[2]) if len(parts) > 2 else 7
+        moves = synth.sample_moves(n_moves, seed=seed)
+        ref_moves = moves
+        gt_corners = synth.default_corners((720, 1280))
+        frames_iter = (f for f, _ in synth.render_game(
+            moves, frames_per_move=3, frame_hw=(720, 1280), seed=seed))
+        if corners is None and ref_sgf != "auto":
+            corners = gt_corners
+    else:
+        frames_iter = iter_video_frames(video_spec)
+        if ref_sgf is None:
+            raise ValueError("a reference SGF is required for video input")
+        ref_moves = Kifu.load(ref_sgf).moves()
+
+    extractor, stats = run_pipeline(frames_iter, corners, batch=batch,
+                                    use_meta=use_meta)
+    report = score_moves(extractor.moves, ref_moves)
+    report.update(stats)
+    report["rejected_readings"] = extractor.rejected
+    return report
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Score the vision pipeline against a reference SGF.")
+    ap.add_argument("video", help="video file, or synth:N[:seed]")
+    ap.add_argument("sgf", nargs="?", default=None,
+                    help="reference SGF ('auto' with synth: to force "
+                         "auto board detection)")
+    ap.add_argument("--batch", type=int, default=cvconf.frame_batch)
+    ap.add_argument("--corners", type=str, default=None,
+                    help="8 comma-separated floats: x1,y1,...,x4,y4 "
+                         "(tl,tr,br,bl) — manual board corners")
+    ap.add_argument("--no-meta", action="store_true",
+                    help="per-frame clustering only (no temporal votes)")
+    args = ap.parse_args(argv)
+
+    corners = None
+    if args.corners:
+        vals = [float(v) for v in args.corners.split(",")]
+        corners = np.array(vals, np.float32).reshape(4, 2)
+
+    report = check(args.video, args.sgf, corners=corners, batch=args.batch,
+                   use_meta=not args.no_meta)
+    print(json.dumps(report, indent=2, default=float))
+    ok = report["agreement"] >= 0.99
+    print(f"\n{'PASS' if ok else 'FAIL'}: {report['good']}/{report['ref_moves']} "
+          f"moves agree ({report['agreement']:.1%}), "
+          f"{report['wrong']} wrong, {report['missing']} missing, "
+          f"{report['extra']} extra @ {report['fps']:.0f} fps")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -138,6 +138,16 @@ def warp_to_canonical(frame: jnp.ndarray, corners: jnp.ndarray,
     return bilinear_sample(frame, src[..., 0], src[..., 1])
 
 
-# Batched variants: leading frame/stream axes.
-warp_batch = jax.vmap(warp_to_canonical, in_axes=(0, 0), out_axes=0)
-warp_batch_fixed = jax.vmap(warp_to_canonical, in_axes=(0, None), out_axes=0)
+def warp_batch(frames: jnp.ndarray, corners: jnp.ndarray,
+               gsize: int = guiconf.gsize,
+               zone: int = cvconf.zone_size) -> jnp.ndarray:
+    """(B, H, W, C) frames + (B, 4, 2) per-frame corners → (B, S, S, C)."""
+    return jax.vmap(lambda f, c: warp_to_canonical(f, c, gsize, zone))(
+        frames, corners)
+
+
+def warp_batch_fixed(frames: jnp.ndarray, corners: jnp.ndarray,
+                     gsize: int = guiconf.gsize,
+                     zone: int = cvconf.zone_size) -> jnp.ndarray:
+    """(B, H, W, C) frames + one fixed (4, 2) corner set → (B, S, S, C)."""
+    return jax.vmap(lambda f: warp_to_canonical(f, corners, gsize, zone))(frames)

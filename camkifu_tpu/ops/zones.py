@@ -35,26 +35,24 @@ def zone_features(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
                   zone: int = cvconf.zone_size) -> jnp.ndarray:
     """Per-intersection feature vector for stone classification.
 
-    Returns (gsize, gsize, 5) float32:
-      0..2  disc-weighted mean R, G, B
-      3     disc-weighted luma standard deviation (texture)
-      4     annulus (outside-disc) mean luma — local board-background estimate
+    Returns (gsize, gsize, 7) float32:
+      0..2  disc-weighted mean R, G, B (where a stone would sit)
+      3..5  annulus (outside-disc) mean R, G, B — local board background
+      6     disc-weighted luma standard deviation (texture)
 
-    The disc weighting restricts color statistics to where a stone would be,
-    which is what makes k-means separation clean (the reference samples a
-    rectangular zone per intersection; the disc is strictly better and is an
-    implementation detail, not an API change).
+    disc − annulus is a per-channel local *contrast*, robust to lighting
+    gradients across the board — the quantity the classifiers cluster on.
+    (The reference samples a rectangular zone per intersection; the disc
+    restriction is an implementation detail, not an API change.)
     """
     zones = extract_zones(canonical, gsize, zone)            # (g,g,z,z,C)
     mask = disc_mask(zone)                                   # (z,z)
-    wsum = jnp.maximum(mask.sum(), 1.0)
-    inv = 1.0 / wsum
+    inv = 1.0 / jnp.maximum(mask.sum(), 1.0)
     mean_rgb = jnp.einsum("ghyxc,yx->ghc", zones, mask) * inv
+    anti = 1.0 - mask
+    bg_rgb = jnp.einsum("ghyxc,yx->ghc", zones, anti) / jnp.maximum(anti.sum(), 1.0)
     luma = rgb_to_gray(zones)                                # (g,g,z,z)
     mean_luma = jnp.einsum("ghyx,yx->gh", luma, mask) * inv
     var_luma = jnp.einsum("ghyx,yx->gh", luma**2, mask) * inv - mean_luma**2
     std_luma = jnp.sqrt(jnp.maximum(var_luma, 0.0))
-    anti = 1.0 - mask
-    bg_luma = jnp.einsum("ghyx,yx->gh", luma, anti) / jnp.maximum(anti.sum(), 1.0)
-    return jnp.concatenate(
-        [mean_rgb, std_luma[..., None], bg_luma[..., None]], axis=-1)
+    return jnp.concatenate([mean_rgb, bg_rgb, std_luma[..., None]], axis=-1)

@@ -1,0 +1,79 @@
+"""SfClustering — whole-board k-means color classification.
+
+Parity: ``camkifu/stone/sf_clustering.py`` (SURVEY §2.1) — per-intersection
+color statistics, k-means K=3, clusters ordered by luminance (darkest=black,
+brightest=white, middle=wood), with self-assessment: the algorithm abstains
+when clusters are not well separated (degenerate with few stones on board).
+
+TPU-first: the device function is pure and static-shape; cv2.kmeans becomes
+fixed-iteration Lloyd (ops.kmeans); clustering runs on per-channel local
+*contrast* (disc mean − annulus background) which keeps the three populations
+separable under lighting gradients; abstention becomes explicit per-
+intersection confidence (SURVEY §5: same abstention semantics as confidence
+outputs). vmaps over the frame axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.ops.kmeans import kmeans
+from camkifu_tpu.ops.zones import zone_features
+
+# Labels follow the gamemodel convention: 0=E, 1=B, 2=W.
+EMPTY, BLACK, WHITE = 0, 1, 2
+
+_LUMA = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+
+#: Minimum |luma contrast| (on [0,1] scale) for a cluster to count as stones.
+MIN_CLUSTER_CONTRAST = 0.12
+
+#: Initial centroids in contrast space (gray): black, wood, white.
+INIT_CONTRAST = (-0.35, 0.0, 0.35)
+
+
+def classify_features(feats: jnp.ndarray, iters: int = 8):
+    """Classify all intersections of one frame from zone features.
+
+    feats: (g, g, 7) from ops.zones.zone_features, values scaled to [0, 1].
+    Returns (labels (g, g) int8 ∈ {E, B, W}, confidence (g, g) in [0, 1]).
+    """
+    g = feats.shape[0]
+    contrast = (feats[..., 0:3] - feats[..., 3:6]).reshape(g * g, 3)
+    init = jnp.array([[c, c, c] for c in INIT_CONTRAST], jnp.float32)
+    cents, raw_labels, _ = kmeans(contrast, k=3, iters=iters, init=init)
+
+    # Order clusters by luminance of their contrast: most negative = black,
+    # most positive = white (reference: order by luminance).
+    cluster_luma = cents @ _LUMA                      # (3,)
+    rank = jnp.argsort(jnp.argsort(cluster_luma))     # 0=darkest..2=brightest
+    # rank-of-my-cluster → label: darkest→B, middle→E, brightest→W
+    rank_to_label = jnp.array([BLACK, EMPTY, WHITE], jnp.int8)
+    labels = rank_to_label[rank[raw_labels]]
+
+    # Self-assessment: a "stone" cluster whose centroid contrast is too weak
+    # is degenerate (few/no stones of that color) — its members are empty.
+    strong = jnp.abs(cluster_luma) >= MIN_CLUSTER_CONTRAST     # (3,) per cluster
+    member_strong = strong[raw_labels]
+    labels = jnp.where(member_strong | (labels == EMPTY), labels, EMPTY)
+
+    # Confidence: margin between the sample's own luma contrast and the
+    # class decision boundary, normalized. Empty gets 1 - |contrast|/thresh.
+    sample_luma = contrast @ _LUMA                    # (g*g,)
+    mag = jnp.abs(sample_luma)
+    conf_stone = jnp.clip((mag - MIN_CLUSTER_CONTRAST)
+                          / (0.5 - MIN_CLUSTER_CONTRAST), 0.0, 1.0)
+    conf_empty = jnp.clip(1.0 - mag / MIN_CLUSTER_CONTRAST, 0.0, 1.0)
+    conf = jnp.where(labels == EMPTY, conf_empty, conf_stone)
+    return labels.reshape(g, g), conf.reshape(g, g)
+
+
+def classify_canonical(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
+                       zone: int = cvconf.zone_size):
+    """Canonical image (S, S, 3) in [0, 1] → (labels, confidence)."""
+    return classify_features(zone_features(canonical, gsize, zone))
+
+
+classify_batch = jax.vmap(classify_canonical)

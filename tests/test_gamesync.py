@@ -1,0 +1,101 @@
+"""Move extraction from board-state readings, incl. the capture feedback loop."""
+
+import numpy as np
+
+from camkifu_tpu.core.gamesync import MoveExtractor, score_moves
+from camkifu_tpu.gamemodel.move import B, W, Move
+
+
+def grid(*stones):
+    g = np.zeros((19, 19), np.int8)
+    for color, r, c in stones:
+        g[r, c] = 1 if color == B else 2
+    return g
+
+
+def test_single_moves_in_sequence():
+    ex = MoveExtractor()
+    assert ex.advance(grid((B, 3, 3))) == [Move("np", (B, 3, 3))]
+    # Same reading again: idempotent.
+    assert ex.advance(grid((B, 3, 3))) == []
+    assert ex.advance(grid((B, 3, 3), (W, 15, 15))) == [Move("np", (W, 15, 15))]
+    assert [m.number for m in ex.moves] == [1, 2]
+
+
+def test_two_stone_catchup_prefers_alternation():
+    ex = MoveExtractor()
+    ex.advance(grid((B, 0, 0)))
+    # Reading jumps ahead by a W and a B move (hand blocked the camera).
+    out = ex.advance(grid((B, 0, 0), (W, 9, 9), (B, 5, 5)))
+    assert [m.color for m in out] == [W, B]
+    assert len(ex.moves) == 3
+
+
+def test_capture_consistency():
+    ex = MoveExtractor()
+    # B surrounds W at (0,0): sequence B(0,1), W(0,0), B(1,0) captures W.
+    ex.advance(grid((B, 0, 1)))
+    ex.advance(grid((B, 0, 1), (W, 0, 0)))
+    # Post-capture physical reading: W gone, B(1,0) new.
+    out = ex.advance(grid((B, 0, 1), (B, 1, 0)))
+    assert out == [Move("np", (B, 1, 0))]
+    # Extractor's own state agrees: capture applied.
+    assert ex.state()[0, 0] == 0
+    assert len(ex.moves) == 3
+
+
+def test_capture_with_stone_still_visible_one_frame():
+    """Physical removal lags: the new stone appears while the captured stone
+    is still on the board in the reading — move is still accepted; the next
+    reading (stone removed) must then be consistent, not re-emit."""
+    ex = MoveExtractor()
+    ex.advance(grid((B, 0, 1)))
+    ex.advance(grid((B, 0, 1), (W, 0, 0)))
+    out = ex.advance(grid((B, 0, 1), (W, 0, 0), (B, 1, 0)))
+    assert out == [Move("np", (B, 1, 0))]
+    # Now the player removes the captured stone; reading matches rules state.
+    assert ex.advance(grid((B, 0, 1), (B, 1, 0))) == []
+    assert ex.state()[0, 0] == 0
+
+
+def test_unexplained_disappearance_rejected():
+    ex = MoveExtractor()
+    ex.advance(grid((B, 3, 3)))
+    ex.advance(grid((B, 3, 3), (W, 9, 9)))
+    # B(3,3) vanishes while W(4,4) appears — no capture explains that.
+    out = ex.advance(grid((W, 9, 9), (W, 4, 4)))
+    assert out == []
+    assert ex.rejected >= 1
+    assert len(ex.moves) == 2
+
+
+def test_color_flip_rejected():
+    ex = MoveExtractor()
+    ex.advance(grid((B, 3, 3)))
+    assert ex.advance(grid((W, 3, 3))) == []
+    assert ex.rejected == 1
+
+
+def test_correction_feedback():
+    ex = MoveExtractor()
+    ex.advance(grid((B, 3, 3)))
+    ex.advance(grid((B, 3, 3), (W, 9, 9)))
+    # Human: the W stone was actually at (9, 10).
+    ex.apply_correction(Move("np", (W, 9, 9)), Move("np", (W, 9, 10)))
+    assert ex.state()[9, 9] == 0 and ex.state()[9, 10] == 2
+    assert ex.moves[1] == Move("np", (W, 9, 10))
+    # Human deletes a stone.
+    ex.apply_correction(Move("np", (B, 3, 3)), None)
+    assert ex.state()[3, 3] == 0 and len(ex.moves) == 1
+    # Human adds a stone vision missed.
+    ex.apply_correction(None, Move("np", (B, 5, 5)))
+    assert ex.state()[5, 5] == 1
+
+
+def test_score_moves():
+    ref = [Move("np", (B, 1, 1)), Move("np", (W, 2, 2)), Move("np", (B, 3, 3))]
+    det = [Move("np", (B, 1, 1)), Move("np", (W, 2, 3))]
+    s = score_moves(det, ref)
+    assert s["good"] == 1 and s["wrong"] == 1 and s["missing"] == 1
+    assert abs(s["agreement"] - 1 / 3) < 1e-9
+    assert score_moves(ref, ref)["agreement"] == 1.0
