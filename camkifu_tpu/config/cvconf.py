@@ -45,10 +45,16 @@ def canonical_size_for(gsize: int, zone: int = zone_size) -> int:
 frame_batch = 32
 
 #: Temporal vote window F (SURVEY §2.1 sf_meta: cyclic buffer across F frames).
+#: Votes decay with rate (1 - 1/F), so vote mass asymptotes at F.
 vote_window = 7
 
-#: Votes (out of vote_window) required before a reading becomes a move.
-vote_threshold = 5
+#: Vote mass required before a reading commits. With window 7 this is
+#: reached after ~6 consecutive consistent readings (mass = F·(1−(1−1/F)^k)).
+vote_threshold = 4
+
+#: Minimum per-intersection classifier confidence for a reading to cast a
+#: vote at all.
+vote_min_conf = 0.25
 
 #: Fraction of changed pixels above which the frame is "agitated" (hand over
 #: board) and stone reading is gated off (SURVEY §3.3 agitation check).
@@ -88,6 +94,7 @@ class VisionConfig:
     frame_batch: int = frame_batch
     vote_window: int = vote_window
     vote_threshold: int = vote_threshold
+    vote_min_conf: float = vote_min_conf
     agitation_threshold: float = agitation_threshold
     background_ema: float = background_ema
     bf_period: int = bf_period

@@ -89,7 +89,8 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
             from camkifu_tpu.stone import sf_meta
             if state is None:
                 state = sf_meta.init_state(gsize=gsize)
-            state, labels, conf = sf_meta.read_batch(state, fb, corners_dev)
+            state, labels, conf, _agit = sf_meta.read_batch(
+                state, fb, corners_dev)
         else:
             labels, conf = pipeline.read_board_batch(fb, corners_dev)
         labels = np.asarray(labels)
@@ -115,8 +116,13 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
         moves = synth.sample_moves(n_moves, seed=seed)
         ref_moves = moves
         gt_corners = synth.default_corners((720, 1280))
+        # With temporal votes a stone must persist ≈ the vote window before
+        # it commits (a recorded game holds each position for seconds); the
+        # per-frame classifiers need no persistence.
+        fpm = cvconf.vote_window + 3 if use_meta else 3
         frames_iter = (f for f, _ in synth.render_game(
-            moves, frames_per_move=3, frame_hw=(720, 1280), seed=seed))
+            moves, frames_per_move=fpm, frame_hw=(720, 1280), seed=seed,
+            empty_leadin=6))
         if corners is None and ref_sgf != "auto":
             corners = gt_corners
     else:

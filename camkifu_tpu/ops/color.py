@@ -7,10 +7,13 @@ paths where it pays).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 # ITU-R BT.601 luma weights — identical to cv2.cvtColor(..., COLOR_RGB2GRAY).
-_LUMA = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+# (numpy, not jnp: module-level jnp constants become tracers if the module is
+# first imported inside a jit trace.)
+_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 def to_float(frame: jnp.ndarray) -> jnp.ndarray:

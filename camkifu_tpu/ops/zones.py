@@ -8,6 +8,7 @@ the center of cell (r, c), extracting all gsize² zones is a reshape/transpose
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
@@ -23,12 +24,16 @@ def extract_zones(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
 
 
 def disc_mask(zone: int = cvconf.zone_size, radius_frac: float = 0.42
-              ) -> jnp.ndarray:
-    """(zone, zone) float mask ≈ the stone disc centered on the intersection."""
-    r = jnp.arange(zone, dtype=jnp.float32) - (zone - 1) / 2.0
-    yy, xx = jnp.meshgrid(r, r, indexing="ij")
-    dist = jnp.sqrt(yy**2 + xx**2)
-    return (dist <= radius_frac * zone).astype(jnp.float32)
+              ) -> np.ndarray:
+    """(zone, zone) float mask ≈ the stone disc centered on the intersection.
+
+    Returns numpy (a compile-time constant — jnp here would leak tracers
+    when first evaluated inside a jit/scan trace).
+    """
+    r = np.arange(zone, dtype=np.float32) - (zone - 1) / 2.0
+    yy, xx = np.meshgrid(r, r, indexing="ij")
+    dist = np.sqrt(yy**2 + xx**2)
+    return (dist <= radius_frac * zone).astype(np.float32)
 
 
 def zone_features(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
@@ -49,8 +54,13 @@ def zone_features(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
     mask = disc_mask(zone)                                   # (z,z)
     inv = 1.0 / jnp.maximum(mask.sum(), 1.0)
     mean_rgb = jnp.einsum("ghyxc,yx->ghc", zones, mask) * inv
-    anti = 1.0 - mask
-    bg_rgb = jnp.einsum("ghyxc,yx->ghc", zones, anti) / jnp.maximum(anti.sum(), 1.0)
+    # Background per channel: ring *median* — the ring mean is contaminated
+    # by the stone's blurred edge spilling past the disc, which shrinks the
+    # measured contrast of true stones (white especially).
+    ring_idx = np.nonzero(np.asarray(mask).reshape(-1) < 0.5)[0]
+    c = zones.shape[-1]
+    flat = zones.reshape(gsize, gsize, zone * zone, c)
+    bg_rgb = jnp.median(flat[:, :, ring_idx, :], axis=2)     # (g,g,C)
     luma = rgb_to_gray(zones)                                # (g,g,z,z)
     mean_luma = jnp.einsum("ghyx,yx->gh", luma, mask) * inv
     var_luma = jnp.einsum("ghyx,yx->gh", luma**2, mask) * inv - mean_luma**2

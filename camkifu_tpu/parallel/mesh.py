@@ -1,0 +1,51 @@
+"""Multi-chip scaling: shard the pipeline over a device mesh.
+
+The reference is a single-process desktop app with no distributed backend
+(SURVEY §2.4); the TPU-native scaling story is data parallelism over
+independent video streams (BASELINE config 5: N concurrent boards). Streams
+shard over a 1-D 'stream' mesh axis; within a stream, frames batch on the
+time axis. XLA inserts no collectives for the vision path (streams are
+independent) — ICI stays free for the neural finder's dp gradient psum
+(parallel.train — added with sf_neural).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from camkifu_tpu import pipeline
+from camkifu_tpu.config import cvconf, guiconf
+
+
+def stream_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (stream, ...) arrays: split the leading axis over chips."""
+    return NamedSharding(mesh, P("stream"))
+
+
+@functools.partial(jax.jit, static_argnames=("gsize", "zone"),
+                   donate_argnums=())
+def _read_all_streams(frames, corners, gsize, zone):
+    def per_stream(f, c):
+        return pipeline.read_board_batch(f, c, gsize=gsize, zone=zone)
+
+    return jax.vmap(per_stream)(frames, corners)
+
+
+def multistream_read(mesh: Mesh, frames: jnp.ndarray, corners: jnp.ndarray,
+                     gsize: int = guiconf.gsize,
+                     zone: int = cvconf.zone_size):
+    """Classify frames of N independent streams, sharded over the mesh.
+
+    frames: (n_streams, B, H, W, 3) uint8; corners: (n_streams, 4, 2).
+    Returns (labels (n_streams, B, g, g), confidence (n_streams, B, g, g)),
+    sharded the same way (results stay on their chip until fetched).
+    """
+    sh = stream_sharding(mesh)
+    frames = jax.device_put(frames, sh)
+    corners = jax.device_put(corners, sh)
+    with mesh:
+        return _read_all_streams(frames, corners, gsize, zone)

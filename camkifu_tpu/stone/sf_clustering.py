@@ -15,6 +15,7 @@ outputs). vmaps over the frame axis.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -25,10 +26,12 @@ from camkifu_tpu.ops.zones import zone_features
 # Labels follow the gamemodel convention: 0=E, 1=B, 2=W.
 EMPTY, BLACK, WHITE = 0, 1, 2
 
-_LUMA = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
-#: Minimum |luma contrast| (on [0,1] scale) for a cluster to count as stones.
-MIN_CLUSTER_CONTRAST = 0.12
+#: Minimum RGB-contrast norm (on [0,1] scale) for a cluster to count as
+#: stones. The norm (not luma alone) matters: white stones on light wood
+#: have little *luma* contrast but differ strongly in the blue channel.
+MIN_CLUSTER_CONTRAST = 0.15
 
 #: Initial centroids in contrast space (gray): black, wood, white.
 INIT_CONTRAST = (-0.35, 0.0, 0.35)
@@ -53,18 +56,19 @@ def classify_features(feats: jnp.ndarray, iters: int = 8):
     rank_to_label = jnp.array([BLACK, EMPTY, WHITE], jnp.int8)
     labels = rank_to_label[rank[raw_labels]]
 
-    # Self-assessment: a "stone" cluster whose centroid contrast is too weak
-    # is degenerate (few/no stones of that color) — its members are empty.
-    strong = jnp.abs(cluster_luma) >= MIN_CLUSTER_CONTRAST     # (3,) per cluster
+    # Self-assessment: a "stone" cluster whose centroid contrast *norm* is
+    # too weak is degenerate (few/no stones of that color) — its members are
+    # empty.
+    cluster_mag = jnp.linalg.norm(cents, axis=-1)              # (3,)
+    strong = cluster_mag >= MIN_CLUSTER_CONTRAST
     member_strong = strong[raw_labels]
     labels = jnp.where(member_strong | (labels == EMPTY), labels, EMPTY)
 
-    # Confidence: margin between the sample's own luma contrast and the
-    # class decision boundary, normalized. Empty gets 1 - |contrast|/thresh.
-    sample_luma = contrast @ _LUMA                    # (g*g,)
-    mag = jnp.abs(sample_luma)
+    # Confidence from the sample's own contrast norm: stones scale up from
+    # the threshold, empties scale down toward zero contrast.
+    mag = jnp.linalg.norm(contrast, axis=-1)          # (g*g,)
     conf_stone = jnp.clip((mag - MIN_CLUSTER_CONTRAST)
-                          / (0.5 - MIN_CLUSTER_CONTRAST), 0.0, 1.0)
+                          / (0.45 - MIN_CLUSTER_CONTRAST), 0.0, 1.0)
     conf_empty = jnp.clip(1.0 - mag / MIN_CLUSTER_CONTRAST, 0.0, 1.0)
     conf = jnp.where(labels == EMPTY, conf_empty, conf_stone)
     return labels.reshape(g, g), conf.reshape(g, g)

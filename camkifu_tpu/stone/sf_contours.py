@@ -1,0 +1,97 @@
+"""SfContours — shape/contrast-based stone detection, works from move 1.
+
+Parity: ``camkifu/stone/sf_contours.py`` (SURVEY §2.1) — the reference
+thresholds an edge map, extracts contours near intersections, filters by
+area/shape against the expected stone radius, and colors by mean intensity
+vs board background. Strong early game (no cluster calibration needed),
+weaker in clutter.
+
+TPU-first replacement with the same observable output (per-intersection
+stone/no-stone + color): ``findContours``'s data-dependent tracing becomes a
+dense per-zone *disc test* — threshold each zone's pixels against the local
+annulus background, then require the active pixels to fill the stone disc
+but not the surrounding ring (area + shape in one shot, no contour walk).
+SURVEY §7 hard-part (a): parity is judged on moves, not intermediate bitmaps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.ops.color import rgb_to_gray
+from camkifu_tpu.ops.zones import disc_mask, extract_zones
+
+EMPTY, BLACK, WHITE = 0, 1, 2
+
+#: |luma − background| for a pixel to count as "stone-like".
+PIXEL_CONTRAST = 0.13
+
+#: Fraction of disc pixels that must be active to call a stone.
+MIN_DISC_FILL = 0.60
+
+#: Maximum fraction of ring (outside-disc) pixels active. A real stone plus
+#: its blurred edge and neighbor-stone spill legitimately activates up to
+#: ~2/3 of the ring; a full-zone occluder (hand, shadow blob) activates ~all
+#: of it — that is what this rejects.
+MAX_RING_FILL = 0.85
+
+
+def _mask_indices(zone: int):
+    """Static flat pixel indices of the disc and the ring (outside-disc)."""
+    disc = np.asarray(disc_mask(zone)) > 0.5
+    flat = disc.reshape(-1)
+    return np.nonzero(flat)[0], np.nonzero(~flat)[0]
+
+
+def classify_canonical(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
+                       zone: int = cvconf.zone_size):
+    """Canonical image (S, S, 3) in [0, 1] → (labels (g,g) int8, conf (g,g))."""
+    zones = extract_zones(canonical, gsize, zone)          # (g,g,z,z,3)
+    luma = rgb_to_gray(zones)                              # (g,g,z,z)
+    disc = disc_mask(zone)                                 # (z,z)
+    ring = 1.0 - disc
+    ring_n = jnp.maximum(ring.sum(), 1.0)
+    disc_n = jnp.maximum(disc.sum(), 1.0)
+
+    # Robust local background: each zone's own ring is contaminated by the
+    # stone's blurred edge and by neighbor-stone spill, so take the median
+    # of ring medians over a 3×3 zone neighborhood — on the sparse boards
+    # this finder is responsible for (SfMeta promotes dense regions to
+    # clustering), most neighbors are bare wood.
+    disc_idx, ring_idx = _mask_indices(zone)
+    flat = luma.reshape(gsize, gsize, zone * zone)
+    ring_med = jnp.median(flat[..., ring_idx], axis=-1)    # (g, g)
+    padded = jnp.pad(ring_med, 1, mode="edge")
+    neigh = jnp.stack([padded[dy:dy + gsize, dx:dx + gsize]
+                       for dy in range(3) for dx in range(3)], axis=-1)
+    bg = jnp.median(neigh, axis=-1)                        # (g, g)
+    med_diff = jnp.median(flat[..., disc_idx], axis=-1) - bg
+
+    diff = luma - bg[..., None, None]
+    active = jnp.abs(diff) > PIXEL_CONTRAST                # (g,g,z,z)
+
+    disc_fill = jnp.einsum("ghyx,yx->gh", active.astype(jnp.float32), disc) / disc_n
+    ring_fill = jnp.einsum("ghyx,yx->gh", active.astype(jnp.float32), ring) / ring_n
+
+    # Area + shape + contrast: the disc must be filled, the ring mostly not
+    # (grid lines are a minority), and the disc *median* must genuinely
+    # contrast with the background (kills line-crossing false positives).
+    is_stone = (disc_fill > MIN_DISC_FILL) & (ring_fill < MAX_RING_FILL) \
+        & (jnp.abs(med_diff) > PIXEL_CONTRAST)
+    color = jnp.where(med_diff < 0, BLACK, WHITE).astype(jnp.int8)
+    labels = jnp.where(is_stone, color, EMPTY).astype(jnp.int8)
+
+    # Confidence: stones — how decisively the disc is filled and the ring is
+    # not; empties — how inactive the disc is.
+    conf_stone = jnp.clip((disc_fill - MIN_DISC_FILL) / (1 - MIN_DISC_FILL),
+                          0, 1) * jnp.clip((MAX_RING_FILL - ring_fill)
+                                           / MAX_RING_FILL, 0, 1)
+    conf_empty = jnp.clip(1.0 - disc_fill / MIN_DISC_FILL, 0, 1)
+    conf = jnp.where(is_stone, conf_stone, conf_empty)
+    return labels, conf
+
+
+classify_batch = jax.vmap(classify_canonical)

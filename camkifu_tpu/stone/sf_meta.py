@@ -1,0 +1,181 @@
+"""SfMeta — the production ensemble: contours + clustering, per-region trust,
+agitation gating, temporal vote accumulation.
+
+Parity: ``camkifu/stone/sf_meta.py`` (SURVEY §2.1) — region state machines
+(3×3 sub-boards, calibration → search), agitation gating via frame diffing,
+SfContours early → SfClustering once it cross-validates, per-intersection
+votes in a cyclic buffer across F frames, with only consistent readings
+becoming suggestions, and periodic full-board re-reads for self-correction.
+
+TPU-first mapping (SURVEY §5 long-context analogue): the frame axis is a
+``lax.scan`` carrying a small state pytree — the cyclic vote buffer becomes a
+decayed vote accumulator (g, g, 3); the region state machines become a (3, 3)
+trust EMA of contours/clustering agreement; the agitation gate zeroes the
+vote update. The scan state is an explicit, host-resettable pytree so human
+corrections can invalidate votes (SURVEY §7 hard-part c).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.ops import background
+from camkifu_tpu.ops.color import rgb_to_gray, to_float
+from camkifu_tpu.ops.warp import warp_to_canonical
+from camkifu_tpu.stone import sf_clustering, sf_contours
+
+#: Region-trust EMA rate and the threshold above which a region switches
+#: from contours to clustering (the reference's calibration→search promote).
+TRUST_EMA = 0.08
+TRUST_PROMOTE = 0.9
+
+#: Background downsample factor (canonical → bg grid).
+BG_FACTOR = 4
+
+
+class MetaState(NamedTuple):
+    """Scan carry. All arrays fixed-shape; host code may reset slices."""
+    votes: jnp.ndarray        # (g, g, 3) decayed per-label vote mass
+    stable: jnp.ndarray       # (g, g) int8 — last committed board reading
+    bg: jnp.ndarray           # (S/f, S/f) float32 EMA luma background
+    trust: jnp.ndarray        # (3, 3) float32 region agreement EMA
+    frame_count: jnp.ndarray  # () int32
+
+
+def init_state(gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
+               ) -> MetaState:
+    s = gsize * zone // BG_FACTOR
+    return MetaState(
+        votes=jnp.zeros((gsize, gsize, 3), jnp.float32),
+        stable=jnp.zeros((gsize, gsize), jnp.int8),
+        bg=jnp.full((s, s), -1.0, jnp.float32),   # -1 → "uninitialized"
+        trust=jnp.zeros((3, 3), jnp.float32),
+        frame_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _region_index(gsize: int) -> np.ndarray:
+    """(g, g) int: which of the 3×3 sub-boards each intersection belongs to."""
+    thirds = np.minimum(np.arange(gsize) * 3 // gsize, 2)
+    return (thirds[:, None] * 3 + thirds[None, :]).astype(np.int32)
+
+
+def step_frame(state: MetaState, canonical: jnp.ndarray,
+               gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
+               cfg: cvconf.VisionConfig = cvconf.DEFAULT):
+    """One frame through the meta state machine.
+
+    canonical: (S, S, 3) float in [0, 1].
+    Returns (new_state, (stable_labels, confidence, agitation)).
+    """
+    luma_small = background.downsample_luma(rgb_to_gray(canonical), BG_FACTOR)
+    bg = jnp.where(state.bg[0, 0] < 0, luma_small, state.bg)  # first-frame init
+    agitation = background.agitation_score(luma_small, bg)
+    new_bg = background.update_background(bg, luma_small, agitation,
+                                          cfg.background_ema)
+
+    # Both base finders on the full canonical frame.
+    lab_cont, conf_cont = sf_contours.classify_canonical(canonical, gsize, zone)
+    lab_clus, conf_clus = sf_clustering.classify_canonical(canonical, gsize, zone)
+
+    # Per-region agreement → trust EMA (the calibration machinery): regions
+    # where clustering keeps agreeing with contours promote to clustering.
+    region = _region_index(gsize)                      # (g, g) constant
+    agree = (lab_cont == lab_clus).astype(jnp.float32)
+    region_agree = jax.ops.segment_sum(
+        agree.reshape(-1), region.reshape(-1), num_segments=9)
+    region_count = jax.ops.segment_sum(
+        jnp.ones(gsize * gsize, jnp.float32), region.reshape(-1), num_segments=9)
+    region_agree = (region_agree / region_count).reshape(3, 3)
+    # Freeze trust while agitated (no reliable reading to learn from).
+    calm = agitation <= cfg.agitation_threshold
+    new_trust = jnp.where(calm,
+                          state.trust * (1 - TRUST_EMA)
+                          + region_agree * TRUST_EMA,
+                          state.trust)
+
+    # Fusion: clustering becomes *eligible* once its region's trust promotes
+    # (the reference's calibration→search handoff); among eligible readings
+    # the more confident classifier wins per intersection — contours keeps
+    # covering the spots clustering is hesitant about.
+    trust_per_isect = new_trust.reshape(-1)[region.reshape(-1)] \
+        .reshape(gsize, gsize)
+    use_cluster = (trust_per_isect >= TRUST_PROMOTE) & (conf_clus > conf_cont)
+    labels = jnp.where(use_cluster, lab_clus, lab_cont)
+    conf = jnp.where(use_cluster, conf_clus, conf_cont)
+
+    # Vote accumulation (decayed — effective window cfg.vote_window), gated
+    # by agitation. Votes are discrete (the reference's cyclic buffer counts
+    # readings, it does not weight them): confidence gates whether a reading
+    # votes at all, so a hesitant classifier abstains instead of diluting.
+    decay = 1.0 - 1.0 / cfg.vote_window
+    onehot = jax.nn.one_hot(labels, 3, dtype=jnp.float32)   # (g, g, 3)
+    casts = (conf >= cfg.vote_min_conf).astype(jnp.float32)
+    gate = calm.astype(jnp.float32)
+    new_votes = state.votes * decay + onehot * casts[..., None] * gate
+
+    # Commit: a label flips the stable reading when its vote mass clears the
+    # threshold and dominates the runner-up 2:1.
+    top = jnp.max(new_votes, axis=-1)
+    top_label = jnp.argmax(new_votes, axis=-1).astype(jnp.int8)
+    runner = jnp.sort(new_votes, axis=-1)[..., 1]
+    commit = (top >= cfg.vote_threshold) & (top >= 2.0 * runner)
+    new_stable = jnp.where(commit, top_label, state.stable)
+
+    out_conf = jnp.clip(top / cfg.vote_window, 0.0, 1.0)
+    new_state = MetaState(votes=new_votes, stable=new_stable, bg=new_bg,
+                          trust=new_trust,
+                          frame_count=state.frame_count + 1)
+    return new_state, (new_stable, out_conf, agitation)
+
+
+@functools.partial(jax.jit, static_argnames=("gsize", "zone"))
+def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
+               gsize: int = guiconf.gsize, zone: int = cvconf.zone_size):
+    """Scan the meta state machine over a batch of frames.
+
+    frames: (B, H, W, 3) uint8; corners: (4, 2) fixed or (B, 4, 2) per-frame.
+    Returns (state, labels (B, g, g) int8, conf (B, g, g), agitation (B,)).
+    """
+    with jax.default_matmul_precision("float32"):
+        per_frame = corners.ndim == 3
+
+        def body(carry, inp):
+            if per_frame:
+                frame, cs = inp
+            else:
+                frame, cs = inp, corners
+            canonical = to_float(
+                warp_to_canonical(to_float(frame), cs, gsize, zone))
+            return step_frame(carry, canonical, gsize, zone)
+
+        xs = (frames, corners) if per_frame else frames
+        state, (labels, conf, agitation) = jax.lax.scan(body, state, xs)
+        return state, labels, conf, agitation
+
+
+# -- host-side state surgery (human-correction feedback; SURVEY §3.4) --------
+
+def reset_votes(state: MetaState, positions) -> MetaState:
+    """Invalidate votes (and the stable reading) at (row, col) positions so a
+    corrected misread does not immediately re-suggest — the reference's
+    ``corrected()`` behavior."""
+    votes = np.asarray(state.votes).copy()
+    stable = np.asarray(state.stable).copy()
+    for r, c in positions:
+        votes[r, c] = 0.0
+        stable[r, c] = 0
+    return state._replace(votes=jnp.asarray(votes), stable=jnp.asarray(stable))
+
+
+def set_stable(state: MetaState, board: np.ndarray) -> MetaState:
+    """Force the stable reading (e.g. on --sgf resume: the loaded game's
+    board state is ground truth)."""
+    return state._replace(stable=jnp.asarray(board.astype(np.int8)),
+                          votes=jnp.zeros_like(state.votes))

@@ -1,0 +1,50 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh + driver entry points."""
+
+import numpy as np
+import jax
+
+from camkifu_tpu.utils import synth
+
+
+def test_dryrun_multichip_8_devices():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4, 19, 19)
+
+
+def test_multistream_correctness():
+    """Stream-sharded classification must equal per-stream classification."""
+    from jax.sharding import Mesh
+    from camkifu_tpu import pipeline
+    from camkifu_tpu.parallel.mesh import multistream_read
+    import jax.numpy as jnp
+
+    n = 4
+    frames, corners_list, truths = [], [], []
+    for s in range(n):
+        labels = np.zeros((19, 19), np.int8)
+        rng = np.random.default_rng(s)
+        idx = rng.choice(361, 30 + 10 * s, replace=False)
+        labels.flat[idx[::2]] = 1
+        labels.flat[idx[1::2]] = 2
+        f, c = synth.render_frame(labels, frame_hw=(360, 640))
+        frames.append(np.stack([f, f]))
+        corners_list.append(c)
+        truths.append(labels)
+
+    mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("stream",))
+    out, conf = multistream_read(mesh, jnp.asarray(np.stack(frames)),
+                                 jnp.asarray(np.stack(corners_list)))
+    out = np.asarray(out)
+    assert out.shape == (n, 2, 19, 19)
+    for s in range(n):
+        ref, _ = pipeline.read_board_batch(
+            jnp.asarray(frames[s]), jnp.asarray(corners_list[s]))
+        assert np.array_equal(out[s], np.asarray(ref)), f"stream {s}"
+        assert np.array_equal(out[s, 0], truths[s]), f"stream {s} truth"
