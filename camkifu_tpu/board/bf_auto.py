@@ -1,0 +1,342 @@
+"""BoardFinderAuto — automatic goban localization.
+
+Parity: ``camkifu/board/bf_auto.py`` (SURVEY §2.1/§3.2) — grayscale → blur →
+Canny → contour/Hough analysis → corner candidates, accumulated over rounds
+and committed when stable. TPU-first: the contour walk is replaced by Hough
+line families (SURVEY §2.3: "quad fitting from Hough peaks … same observable
+output: 4 corners"):
+
+1. downscale gray frame to a square detection resolution;
+2. edge map (ops.edges) → top-K votes → (θ, ρ) accumulator (ops.hough);
+3. find the two dominant, roughly-perpendicular θ families; within each, the
+   *extreme* strong lines (min/max center-signed ρ) bound the board slab —
+   their 4 intersections are a coarse board quadrilateral;
+4. **grid refinement**: rectify the frame by the coarse quad, project edge
+   energy onto each axis, and fit a 19-tooth comb (offset + spacing search)
+   to the 1D profiles — grid lines are axis-aligned after rectification, so
+   this pins the *outer grid line* positions to sub-pixel without any
+   data-dependent contour walk; map the 4 outer-grid intersections back
+   through the rectifying homography. Iterated twice.
+5. temporal stabilization: median over a batch (fixed camera) or EMA + crude
+   outlier rejection across frames (handheld, BASELINE config 4).
+
+Output corners are ordered tl/tr/br/bl in full-frame pixel coordinates and
+are the goban's corner *intersections* (the canonical warp's anchors).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from camkifu_tpu.config import cvconf
+from camkifu_tpu.ops.color import rgb_to_gray, to_float
+from camkifu_tpu.ops.edges import edge_map
+from camkifu_tpu.ops.filters import sobel
+from camkifu_tpu.ops.hough import hough_accumulate, peak_lines, topk_edge_points
+from camkifu_tpu.ops.warp import apply_homography, bilinear_sample, homography_dlt
+
+#: Angular half-window (radians) around a family's dominant θ.
+FAMILY_WINDOW = np.pi / 8
+
+#: A line must carry at least this fraction of its family's best vote to be
+#: eligible as a board edge. Low on purpose: on dense boards the stone rows
+#: vote far harder than the slab edges, and perspective weakens the far
+#: edge — the tight FAMILY_WINDOW + peak NMS do the noise rejection.
+MIN_LINE_STRENGTH = 0.12
+
+#: Rectification resolution for the grid-comb refinement.
+REFINE_RES = 512
+
+
+def _angdiff(a, b):
+    """Angular distance on the line-orientation circle (period π)."""
+    d = jnp.abs(a - b) % np.pi
+    return jnp.minimum(d, np.pi - d)
+
+
+def _line_intersection(t1, r1, t2, r2):
+    """Intersection of x·cosθ + y·sinθ = ρ pairs → (x, y)."""
+    det = jnp.cos(t1) * jnp.sin(t2) - jnp.sin(t1) * jnp.cos(t2)
+    det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+    x = (r1 * jnp.sin(t2) - r2 * jnp.sin(t1)) / det
+    y = (r2 * jnp.cos(t1) - r1 * jnp.cos(t2)) / det
+    return x, y
+
+
+def _order_quad(pts_xy: jnp.ndarray) -> jnp.ndarray:
+    """Order 4 points tl/tr/br/bl (image y grows downward)."""
+    ctr = pts_xy.mean(axis=0)
+    ang = jnp.arctan2(pts_xy[:, 1] - ctr[1], pts_xy[:, 0] - ctr[0])
+    ordered = pts_xy[jnp.argsort(ang)]
+    roll = jnp.argmin(ordered.sum(axis=1))
+    ordered = jnp.roll(ordered, -roll, axis=0)
+    flipped = ordered[jnp.array([0, 3, 2, 1])]
+    return jnp.where(ordered[1, 0] >= ordered[3, 0], ordered, flipped)
+
+
+def _box_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable box filter via cumulative sums (O(n), any radius)."""
+    def along(a, axis):
+        c = jnp.cumsum(a, axis=axis)
+        n = a.shape[axis]
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (radius + 1, radius)
+        cp = jnp.pad(c, pad, mode="edge")
+        # window sum = c[i+r] - c[i-r-1]
+        hi = jax.lax.slice_in_dim(cp, 2 * radius + 1, 2 * radius + 1 + n,
+                                  axis=axis)
+        lo = jax.lax.slice_in_dim(cp, 0, n, axis=axis)
+        return (hi - lo) / (2 * radius + 1)
+    return along(along(img, 0), 1)
+
+
+def _coarse_quad(gray_small: jnp.ndarray):
+    """Edge-density board-region quadrilateral on the detection-res gray.
+
+    The board is the region dense in edges (grid lines and/or stones) against
+    a quiet table; its four extreme points along the ±45° projections are the
+    slab corners. This replaces the reference's findContours board-outline
+    walk with dense ops (SURVEY §2.3) and is stone-density-agnostic — Hough
+    line extremes fail on full boards where stone rows out-vote slab edges.
+
+    Returns (quad (4, 2) in detection-res coords, score); score < ~0.1 means
+    "no board found".
+    """
+    res = gray_small.shape[0]
+    mag = edge_map(gray_small)
+    density = _box_blur((mag > 0).astype(jnp.float32), radius=7)
+    mask = density > 0.06
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (res, res), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (res, res), 1)
+
+    def corner(proj, k=49):
+        p = jnp.where(mask, proj, -jnp.inf).reshape(-1)
+        _, idx = jax.lax.top_k(p, k)
+        cx = jnp.median(xs.reshape(-1)[idx])
+        cy = jnp.median(ys.reshape(-1)[idx])
+        return jnp.stack([cx, cy])
+
+    quad = _order_quad(jnp.stack([
+        corner(-(xs + ys)),        # tl
+        corner(xs - ys),           # tr
+        corner(xs + ys),           # br
+        corner(ys - xs),           # bl
+    ]))
+
+    # Score: edge density must be *concentrated in* the quad — a board is a
+    # dense region on a quiet table; uniform texture (no board) scores ~0.
+    inside = jnp.ones((res, res), bool)
+    for i in range(4):
+        p0, p1 = quad[i], quad[(i + 1) % 4]
+        e = p1 - p0
+        inside &= ((xs - p0[0]) * e[1] - (ys - p0[1]) * e[0]) <= 0
+    in_mean = jnp.where(inside, density, 0.0).sum() \
+        / jnp.maximum(inside.sum(), 1)
+    out_count = (~inside).sum()
+    out_mean = jnp.where(~inside, density, 0.0).sum() \
+        / jnp.maximum(out_count, 1)
+    contrast = jnp.where(out_count > 0.05 * res * res,
+                         in_mean - out_mean, in_mean)
+    # A board also has *line structure*: the Hough accumulator of its edges
+    # is sharply peaked (grid lines / stone rows), while texture or noise —
+    # which can fool the percentile-adaptive edge threshold into a dense
+    # mask — votes diffusely. Measured peak/mean: noise ≈ 6, boards 10–25.
+    pts, wts = topk_edge_points(mag)
+    acc = hough_accumulate(pts, wts, float(np.hypot(res, res)))
+    peakedness = acc.max() / jnp.maximum(acc.mean(), 1e-6)
+    structure = jnp.clip((peakedness - 7.0) / 6.0, 0.0, 1.0)
+
+    e1 = quad[1] - quad[0]
+    e2 = quad[3] - quad[0]
+    quad_area = jnp.abs(e1[0] * e2[1] - e1[1] * e2[0])
+    score = jnp.clip(contrast * 8.0, 0.0, 1.0) * structure \
+        * (quad_area > (0.15 * res) ** 2)
+    return quad, score
+
+
+def _comb_fit(profile: jnp.ndarray, gsize: int, n_offsets: int = 64,
+              n_spacings: int = 48, gap_weight: float = 0.0):
+    """Fit a gsize-tooth even comb to a 1D edge-energy profile.
+
+    Searches (offset, spacing) on a grid, scoring Σ_i profile(o + i·s) by
+    linear interpolation; returns (offset, spacing) of the best comb with a
+    parabolic sub-step refinement on the offset.
+    """
+    n = profile.shape[0]
+    # The quad-rectified grid spans most of [0, n); margins up to ~15%.
+    spacings = jnp.linspace(0.70 * n / gsize, 1.02 * n / (gsize - 1),
+                            n_spacings)
+    offsets = jnp.linspace(0.0, 0.30 * n, n_offsets)
+
+    idx = jnp.arange(gsize, dtype=jnp.float32)             # teeth
+    mid = jnp.arange(gsize - 1, dtype=jnp.float32) + 0.5   # between-line gaps
+
+    def interp(pos):
+        pos = jnp.clip(pos, 0.0, n - 1.001)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        f = pos - lo
+        return profile[lo] * (1 - f) + profile[lo + 1] * f
+
+    pos = offsets[:, None, None] + spacings[None, :, None] * idx  # (O,S,g)
+    gaps = offsets[:, None, None] + spacings[None, :, None] * mid
+    valid = pos[..., -1] <= n - 1.0
+    # Two signals: teeth on high profile; mid-gaps on low(er) profile. The
+    # gap penalty breaks the basin where the comb stretches one tooth onto
+    # the board-slab edge — but on near-full boards stone bodies span almost
+    # the whole cell and the penalty misleads, hence it is a parameter; the
+    # caller races both settings and disambiguates with the slab prior.
+    teeth_score = interp(pos).mean(axis=-1)
+    gap_score = interp(gaps).mean(axis=-1)
+    scores = jnp.where(valid, teeth_score - gap_weight * gap_score, -jnp.inf)
+    flat = jnp.argmax(scores)
+    oi, si = flat // n_spacings, flat % n_spacings
+    # Quality under the *common* metric (gap-penalized) for cross-candidate
+    # comparison, regardless of which metric selected this comb.
+    quality = (teeth_score - gap_score).reshape(-1)[flat]
+    return offsets[oi], spacings[si], quality
+
+
+def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
+                 margin: float = 0.08, res: int = REFINE_RES,
+                 gap_weight: float = 1.0):
+    """Rectify by `quad` (+outward margin) and comb-fit the grid lines.
+
+    Returns (corners (4, 2) in frame coordinates, comb quality scalar).
+    """
+    # Expand the quad outward so the whole grid is safely inside.
+    ctr = quad.mean(axis=0)
+    equad = ctr + (quad - ctr) * (1.0 + margin)
+    # Homography rect → frame (the gather-friendly direction).
+    unit = jnp.array([[0.0, 0.0], [res - 1.0, 0.0],
+                      [res - 1.0, res - 1.0], [0.0, res - 1.0]], jnp.float32)
+    H = homography_dlt(unit, equad)
+    us = jnp.arange(res, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(us, us, indexing="xy")
+    src = apply_homography(H, jnp.stack([uu, vv], axis=-1))
+    rect = bilinear_sample(gray[..., None], src[..., 0], src[..., 1])[..., 0]
+
+    gx, gy = sobel(rect)
+    interior = slice(res // 8, res - res // 8)
+
+    def prep(profile):
+        # Clip spikes: the board/table slab edge is far stronger than grid
+        # lines and would otherwise buy a one-tooth-shifted comb; after
+        # clipping, 19 aligned medium peaks always beat one saturated edge.
+        p = jnp.minimum(profile, jnp.percentile(profile, 90))
+        # High-pass at the cell scale: wide bands (table margins, shading
+        # gradients) carry no lattice information but would bias the comb;
+        # only the ~cell-periodic structure should score.
+        n = p.shape[0]
+        r = max(2, n // (2 * gsize))
+        c = jnp.cumsum(jnp.pad(p, (r + 1, r), mode="edge"))
+        local_mean = (c[2 * r + 1:] - c[:n]) / (2 * r + 1)
+        p = jnp.maximum(p - local_mean, 0.0)
+        return p / jnp.maximum(p.max(), 1e-6)
+
+    # Two lattice signals, both peaking ON the grid lines: gradient energy
+    # (grid lines, sparse boards) and luma deviation from the wood level
+    # (stones sit centered on intersections — on near-full boards stone
+    # *edges* peak half a cell off-line in the gradient profile, but stone
+    # *bodies* peak on it in the deviation profile).
+    wood = jnp.median(rect)
+    dev = jnp.abs(rect - wood)
+    col_profile = prep(jnp.abs(gx)[interior, :].mean(axis=0)) \
+        + prep(dev[interior, :].mean(axis=0))
+    row_profile = prep(jnp.abs(gy)[:, interior].mean(axis=1)) \
+        + prep(dev[:, interior].mean(axis=1))
+
+    ox, sx, qx = _comb_fit(col_profile, gsize, gap_weight=gap_weight)
+    oy, sy, qy = _comb_fit(row_profile, gsize, gap_weight=gap_weight)
+
+    span = gsize - 1.0
+    xs = jnp.array([ox, ox + span * sx])
+    ys = jnp.array([oy, oy + span * sy])
+    rect_corners = jnp.array([[xs[0], ys[0]], [xs[1], ys[0]],
+                              [xs[1], ys[1]], [xs[0], ys[1]]])
+    return apply_homography(H, rect_corners), qx + qy
+
+
+def _slab_inset(corners: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
+    """Smallest inward distance (px) from any candidate corner to the slab
+    boundary. Negative = a corner lies outside the slab."""
+    dists = []
+    for i in range(4):
+        p0 = slab[i]
+        p1 = slab[(i + 1) % 4]
+        e = p1 - p0
+        # Inward normal for a tl/tr/br/bl (clockwise on screen) quad.
+        n = jnp.stack([-e[1], e[0]])
+        n = n / jnp.maximum(jnp.linalg.norm(n), 1e-6)
+        d = (corners - p0[None, :]) @ n
+        dists.append(d.min())
+    return jnp.stack(dists).min()
+
+
+@functools.partial(jax.jit, static_argnames=("res", "gsize", "refine_iters"))
+def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
+                   gsize: int = 19, refine_iters: int = 2):
+    """One frame (H, W, 3) uint8/float → (corners (4, 2) float32, score).
+
+    Corners are the outer grid intersections, tl/tr/br/bl, in frame pixels.
+    score < ~0.1 means "no board found" (callers keep the previous estimate).
+    """
+    with jax.default_matmul_precision("float32"):
+        h, w = frame.shape[0], frame.shape[1]
+        gray = rgb_to_gray(to_float(frame))
+        small = jax.image.resize(gray, (res, res), method="bilinear")
+        quad_small, score = _coarse_quad(small)
+        scale = jnp.array([(w - 1) / (res - 1), (h - 1) / (res - 1)],
+                          jnp.float32)
+        quad = quad_small * scale[None, :]
+        # Multi-hypothesis refinement: the comb fit has discrete shifted
+        # basins (one tooth on the slab edge instead of a grid line), and no
+        # single scoring beats all stone densities — so race both scorings,
+        # iterate each (re-rectifying on detected corners removes projective
+        # distortion from the even-spacing assumption), and disambiguate
+        # with the slab prior: the true outer grid lines sit strictly
+        # *inside* the slab (≥ ~0.3 cell on a real goban); shifted basins
+        # always push a corner onto or past a slab edge.
+        cell = jnp.linalg.norm(quad[1] - quad[0]) / (gsize + 0.0)
+        candidates = []
+        for gw in (1.0, 0.0):
+            c, q = _refine_grid(gray, quad, gsize, margin=0.10, gap_weight=gw)
+            candidates.append((c, q))
+            for _ in range(refine_iters - 1):
+                c, q = _refine_grid(gray, c, gsize, margin=0.18, gap_weight=gw)
+                candidates.append((c, q))
+
+        cs = jnp.stack([c for c, _ in candidates])          # (N, 4, 2)
+        qs = jnp.stack([q for _, q in candidates])          # (N,)
+        insets = jnp.stack([_slab_inset(c, quad) for c, _ in candidates])
+        feasible = insets >= 0.25 * cell
+        # Among feasible candidates take the best comb quality; if none is
+        # feasible (slab estimate itself off), fall back to max inset.
+        pick_q = jnp.where(feasible, qs, -jnp.inf)
+        idx = jnp.where(feasible.any(), jnp.argmax(pick_q),
+                        jnp.argmax(insets))
+        corners = cs[idx]
+        return corners.astype(jnp.float32), score
+
+
+def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution):
+    """vmapped detection → (corners (B, 4, 2), scores (B,))."""
+    return jax.vmap(lambda f: detect_corners(f, res))(frames)
+
+
+def detect_batch_stable(frames: jnp.ndarray,
+                        res: int = cvconf.bf_resolution) -> jnp.ndarray:
+    """Fixed-camera estimate: per-frame detection, then the median corner
+    positions over the confident frames (the reference's accumulate-until-
+    stable, batch-shaped)."""
+    corners, scores = detect_batch(frames, res)
+    ok = (scores >= 0.05)[:, None, None]
+    w = ok.astype(jnp.float32)
+    # Median over confident frames; fall back to plain median if none pass.
+    big = jnp.where(ok, corners, jnp.nan)
+    med = jnp.nanmedian(big, axis=0)
+    return jnp.where(jnp.isnan(med), jnp.median(corners, axis=0), med)

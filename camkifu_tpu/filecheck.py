@@ -82,7 +82,11 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
     corners_dev = None if corners is None else jnp.asarray(corners, jnp.float32)
     for frames, n in batched(frames_iter, batch):
         fb = jnp.asarray(frames)
-        if corners is None:
+        if corners is None and corners_dev is None:
+            # Fixed-camera automatic board detection: locate once on the
+            # first batch (median over frames), as BoardFinderAuto commits a
+            # stable homography (SURVEY §2.1). Handheld per-frame
+            # re-detection is the (B, 4, 2) corners path.
             from camkifu_tpu.board import bf_auto
             corners_dev = bf_auto.detect_batch_stable(fb)
         if use_meta:

@@ -1,0 +1,70 @@
+"""Edge detection: Sobel magnitude + non-maximum suppression + thresholding.
+
+The Canny equivalent (SURVEY §2.3): cv2.Canny's data-dependent hysteresis
+loop is replaced by NMS + double threshold + a fixed number of dilation
+propagation steps (SURVEY §7 hard-part a) — static shapes, no sequential
+region growing, same observable output for the Hough stage downstream.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from camkifu_tpu.ops.filters import gaussian_blur, sobel
+
+
+def _shift2(img, dy, dx):
+    return jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+
+
+def nms_magnitude(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
+    """Gradient magnitude with non-maximum suppression along the gradient
+    direction (quantized to 4 directions, as Canny does)."""
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    angle = jnp.arctan2(gy, gx)                     # [-pi, pi]
+    # Quantize to {0°, 45°, 90°, 135°} (mod 180°).
+    a = jnp.mod(angle, jnp.pi)
+    sector = jnp.floor((a + jnp.pi / 8) / (jnp.pi / 4)).astype(jnp.int32) % 4
+    # Neighbor offsets for each sector: 0→E/W, 1→NE/SW, 2→N/S, 3→NW/SE.
+    n1 = jnp.stack([_shift2(mag, 0, 1), _shift2(mag, 1, 1),
+                    _shift2(mag, 1, 0), _shift2(mag, 1, -1)])
+    n2 = jnp.stack([_shift2(mag, 0, -1), _shift2(mag, -1, -1),
+                    _shift2(mag, -1, 0), _shift2(mag, -1, 1)])
+    sel1 = jnp.take_along_axis(n1, sector[None], axis=0)[0]
+    sel2 = jnp.take_along_axis(n2, sector[None], axis=0)[0]
+    keep = (mag >= sel1) & (mag >= sel2)
+    return jnp.where(keep, mag, 0.0)
+
+
+def hysteresis(mag: jnp.ndarray, low: float, high: float,
+               iters: int = 8) -> jnp.ndarray:
+    """Double threshold + fixed-iteration strong-edge propagation: weak
+    pixels survive if connected (8-neighborhood) to strong ones within
+    ``iters`` dilation steps."""
+    strong = mag >= high
+    weak = mag >= low
+    reach = strong
+    for _ in range(iters):
+        dil = reach
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    dil = dil | _shift2(reach, dy, dx)
+        reach = dil & weak
+    return jnp.where(reach | strong, mag, 0.0)
+
+
+def edge_map(gray: jnp.ndarray, sigma: float = 1.4,
+             low_frac: float = 0.15, high_frac: float = 0.4,
+             hysteresis_iters: int = 4) -> jnp.ndarray:
+    """Full edge stack on a 2D gray image in [0, 1] → NMS edge magnitudes.
+
+    Thresholds are fractions of the 99.5th-percentile magnitude (adaptive —
+    cv2.Canny's absolute thresholds would be brittle across exposures).
+    """
+    blurred = gaussian_blur(gray, sigma)
+    gx, gy = sobel(blurred)
+    mag = nms_magnitude(gx, gy)
+    ref = jnp.percentile(mag, 99.5)
+    out = hysteresis(mag, low_frac * ref, high_frac * ref, hysteresis_iters)
+    return out

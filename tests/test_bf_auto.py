@@ -1,0 +1,117 @@
+"""BoardFinderAuto: corner accuracy across stone densities and perspectives
+(SURVEY §2.1 bf_auto; BASELINE configs 3/4), plus the edge/Hough ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from camkifu_tpu.board import bf_auto
+from camkifu_tpu.ops.color import rgb_to_gray, to_float
+from camkifu_tpu.ops.edges import edge_map
+from camkifu_tpu.ops.filters import gaussian_blur, sobel
+from camkifu_tpu.ops.hough import hough_lines
+from camkifu_tpu.utils import synth
+
+#: Max acceptable corner error at 720p: ~0.35 of one grid cell (~31 px).
+TOL_PX = 11.0
+
+
+def board(nstones, seed):
+    labels = np.zeros((19, 19), np.int8)
+    if nstones:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(361, nstones, replace=False)
+        labels.flat[idx[::2]] = 1
+        labels.flat[idx[1::2]] = 2
+    return labels
+
+
+@pytest.mark.parametrize("nstones,seed", [(0, 0), (10, 5), (40, 1), (120, 2),
+                                          (250, 3)])
+def test_detect_corners_across_densities(nstones, seed):
+    frame, corners = synth.render_frame(board(nstones, seed),
+                                        frame_hw=(720, 1280), seed=seed)
+    det, score = bf_auto.detect_corners(jnp.asarray(frame))
+    assert float(score) > 0.1
+    assert np.abs(np.asarray(det) - corners).max() < TOL_PX
+
+
+@pytest.mark.parametrize("perspective", [0.02, 0.2, 0.3])
+def test_detect_corners_across_perspectives(perspective):
+    corners = synth.default_corners((720, 1280), perspective=perspective)
+    labels = np.zeros((19, 19), np.int8)
+    labels[::3, ::4] = 1
+    labels[1::4, ::3] = 2
+    frame, corners = synth.render_frame(labels, corners=corners,
+                                        frame_hw=(720, 1280))
+    det, score = bf_auto.detect_corners(jnp.asarray(frame))
+    assert np.abs(np.asarray(det) - corners).max() < TOL_PX
+
+
+def test_detect_batch_stable_median():
+    labels = board(60, 9)
+    frames = np.stack([
+        synth.render_frame(labels, frame_hw=(480, 854), seed=s)[0]
+        for s in range(4)])
+    corners = synth.default_corners((480, 854))
+    est = bf_auto.detect_batch_stable(jnp.asarray(frames))
+    assert np.abs(np.asarray(est) - corners).max() < TOL_PX
+
+
+def test_no_board_low_score():
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 40, (480, 640, 3)).astype(np.uint8)
+    _, score = bf_auto.detect_corners(jnp.asarray(noise))
+    assert float(score) < 0.2
+
+
+def test_gaussian_blur_matches_cv2():
+    import cv2
+    rng = np.random.default_rng(1)
+    img = rng.random((64, 64)).astype(np.float32)
+    ours = np.asarray(gaussian_blur(jnp.asarray(img), sigma=1.4))
+    theirs = cv2.GaussianBlur(img, (9, 9), 1.4, borderType=cv2.BORDER_REPLICATE)
+    assert np.abs(ours - theirs).max() < 1e-3
+
+
+def test_sobel_matches_cv2():
+    import cv2
+    rng = np.random.default_rng(2)
+    img = rng.random((48, 48)).astype(np.float32)
+    gx, gy = sobel(jnp.asarray(img))
+    cx = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3,
+                   borderType=cv2.BORDER_REPLICATE)
+    cy = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3,
+                   borderType=cv2.BORDER_REPLICATE)
+    assert np.abs(np.asarray(gx) - cx).max() < 1e-3
+    assert np.abs(np.asarray(gy) - cy).max() < 1e-3
+
+
+def test_hough_finds_synthetic_lines():
+    """Two known lines in a blank image must be the top Hough peaks."""
+    img = np.zeros((128, 128), np.float32)
+    img[40, :] = 1.0          # horizontal: θ=90°, ρ=40
+    img[:, 100] = 1.0         # vertical:   θ=0°,  ρ=100
+    theta, rho, votes = hough_lines(jnp.asarray(img), k=512)
+    found = []
+    for a, b in zip(np.asarray(theta)[:2], np.asarray(rho)[:2]):
+        deg = np.degrees(a)
+        if deg > 135:          # canonicalize antipodal (θ+180°, −ρ)
+            deg -= 180
+            b = -b
+        found.append((round(deg), round(b)))
+    found.sort()
+    # θ bins are centered; allow ±2° / ±2px.
+    assert abs(found[0][0] - 0) <= 2 and abs(found[0][1] - 100) <= 2
+    assert abs(found[1][0] - 90) <= 2 and abs(found[1][1] - 40) <= 2
+
+
+def test_edge_map_sparse_and_on_lines():
+    labels = np.zeros((19, 19), np.int8)
+    frame, _ = synth.render_frame(labels, frame_hw=(480, 854), noise=0)
+    gray = rgb_to_gray(to_float(jnp.asarray(frame)))
+    small = jax.image.resize(gray, (256, 256), method="bilinear")
+    mag = np.asarray(edge_map(small))
+    frac = (mag > 0).mean()
+    assert 0.005 < frac < 0.2     # NMS keeps thin edges only
