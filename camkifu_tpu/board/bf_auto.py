@@ -340,3 +340,45 @@ def detect_batch_stable(frames: jnp.ndarray,
     big = jnp.where(ok, corners, jnp.nan)
     med = jnp.nanmedian(big, axis=0)
     return jnp.where(jnp.isnan(med), jnp.median(corners, axis=0), med)
+
+
+# ---------------------------------------------------------------------------
+# Host finder class (the cvconf-registered algorithm; SURVEY §2.1 bf_auto).
+# ---------------------------------------------------------------------------
+
+from camkifu_tpu.board.boardfinder import BoardFinder
+
+
+class BoardFinderAuto(BoardFinder):
+    """Automatic goban localization with temporal stabilization: per-batch
+    detections accumulate into an EMA once confident; isolated outlier
+    detections are rejected (the reference's accumulate-until-stable)."""
+
+    label = "automatic"
+
+    def __init__(self, vmanager):
+        super().__init__(vmanager)
+        self._estimate: np.ndarray | None = None
+
+    def _detect(self, frames) -> bool:
+        import jax.numpy as jnp
+
+        det = detect_batch_stable(jnp.asarray(frames))
+        det = np.asarray(det)
+        scores = np.asarray(detect_batch(jnp.asarray(frames[:1]))[1])
+        if not np.isfinite(det).all() or scores.max() < 0.1:
+            return False
+        if self._estimate is None:
+            self._estimate = det
+        else:
+            jump = np.abs(det - self._estimate).max()
+            cell = np.linalg.norm(self._estimate[1] - self._estimate[0]) / 18
+            if jump > 3 * cell:
+                # Camera bump: restart accumulation from the new detection.
+                self._estimate = det
+            else:
+                self._estimate = 0.8 * self._estimate + 0.2 * det
+        self.corners.clear()
+        for p in self._estimate:
+            self.corners.add(p)
+        return self.corners.ready()

@@ -1,0 +1,134 @@
+"""ckmain — application entry point.
+
+Parity: ``src/ckmain.py`` (SURVEY §2.1/§3.1) — parse CLI (video source,
+bounds crop, sgf file, finder overrides), build the GUI + vision controller +
+vision manager, start vision, run the main loop. ``--nogui`` runs the
+headless path (sequential manager + controller) used on machines without a
+display and by batch processing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from camkifu_tpu.config import cvconf
+
+
+def get_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="ckmain",
+        description="Watch a Go game (camera or video) and record it as SGF.")
+    ap.add_argument("-v", "--video", default="0",
+                    help="camera index or video file path (default 0)")
+    ap.add_argument("-b", "--bounds", type=float, nargs=2, default=(0.0, 1.0),
+                    metavar=("F1", "F2"),
+                    help="relative vertical crop of the frames, two floats in [0,1]")
+    ap.add_argument("--sgf", default=None,
+                    help="SGF file to record into (resumes if it exists)")
+    ap.add_argument("--bf", default=None,
+                    help="board finder (label or class name; default: first "
+                         "registered)")
+    ap.add_argument("--sf", default=None,
+                    help="stones finder (label or class name)")
+    ap.add_argument("--corners", default=None,
+                    help="8 comma-separated floats x1,y1,..x4,y4 (tl,tr,br,bl)"
+                         " — implies the manual board finder")
+    ap.add_argument("--batch", type=int, default=cvconf.frame_batch,
+                    help="frames per device batch")
+    ap.add_argument("--nogui", action="store_true",
+                    help="headless: process the whole video, save the SGF, exit")
+    return ap
+
+
+def _resolve(registry, name, default):
+    if name is None:
+        return default
+    for cls in registry:
+        if cls.label == name or cls.__name__ == name:
+            return cls
+    raise SystemExit(f"unknown finder {name!r}; available: "
+                     f"{[c.label for c in registry]}")
+
+
+def main(argv=None) -> int:
+    args = get_argparser().parse_args(argv)
+
+    bfs, sfs = cvconf.bfinders(), cvconf.sfinders()
+    bf_class = _resolve(bfs, args.bf, bfs[0])
+    sf_class = _resolve(sfs, args.sf, sfs[0])
+
+    corners = None
+    if args.corners:
+        from camkifu_tpu.board.bf_manual import BoardFinderManual
+        corners = np.array([float(v) for v in args.corners.split(",")],
+                           np.float32).reshape(4, 2)
+        bf_class = BoardFinderManual
+
+    if args.nogui:
+        return main_headless(args, bf_class, sf_class, corners)
+    return main_gui(args, bf_class, sf_class, corners)
+
+
+def main_headless(args, bf_class, sf_class, corners) -> int:
+    from camkifu_tpu.core.controllerv import ControllerVSeq
+    from camkifu_tpu.core.vmanager import VManagerSeq
+
+    controller = ControllerVSeq(sgffile=args.sgf, video=args.video,
+                                bounds=tuple(args.bounds))
+    errors: list[str] = []
+    controller.listeners.append(
+        lambda ev, *a: errors.append(str(a)) if ev == "error" else None)
+    vm = VManagerSeq(controller, video=args.video, bounds=tuple(args.bounds),
+                     bf_class=bf_class, sf_class=sf_class, batch=args.batch)
+    vm.instantiate_finders()
+    if corners is not None:
+        vm.board_finder.set_corners(corners)
+    vm.run()
+    moves = controller.kifu.moves()
+    print(f"detected {len(moves)} moves "
+          f"({vm.stones_finder.total_frames} frames)")
+    if args.sgf:
+        controller.kifu.save()
+        print(f"saved {args.sgf}")
+    else:
+        from camkifu_tpu.gamemodel import sgf
+        print(sgf.serialize_tree(controller.kifu.game))
+    if errors:
+        print(f"({len(errors)} rules rejections during the run)",
+              file=sys.stderr)
+    return 0
+
+
+def main_gui(args, bf_class, sf_class, corners) -> int:
+    try:
+        import tkinter
+    except ImportError:
+        print("tkinter unavailable — use --nogui", file=sys.stderr)
+        return 2
+    from camkifu_tpu.core.controllerv import ControllerV
+    from camkifu_tpu.core.vmanager import VManager
+    from camkifu_tpu.gui.vui import VUI
+
+    root = tkinter.Tk()
+    root.title("camkifu-tpu")
+    controller = ControllerV(sgffile=args.sgf, video=args.video,
+                             bounds=tuple(args.bounds))
+    vmanager = VManager(controller, video=args.video,
+                        bounds=tuple(args.bounds), bf_class=bf_class,
+                        sf_class=sf_class, batch=args.batch)
+    ui = VUI(root, controller, vmanager)
+    if corners is not None:
+        vmanager.instantiate_finders()
+        vmanager.board_finder.set_corners(corners)
+    vmanager.vision_on()
+    ui.mainloop()
+    vmanager.vision_off()
+    controller.close(autosave=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,184 @@
+"""Frame capture: file/camera decode with film vs live semantics.
+
+Parity: the capture wrapper in ``camkifu/core/vmanager.py`` (SURVEY §2.1) —
+bounds cropping, and the two read disciplines: **film mode** (recorded video:
+every frame is delivered exactly once, never dropped) vs **live mode**
+(camera: always-latest wins, stale frames dropped). The reference hands one
+frame at a time to two threads; here consumers pull *batches* for the jitted
+pipeline, which subsumes the synchronized fan-out.
+
+Decode stays on host (cv2), as in the reference (SURVEY §2.3 row 1).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+
+class CaptureBase:
+    """Read interface: read_batch(n) → (frames (k≤n, H, W, 3) RGB, done)."""
+
+    def read_batch(self, n: int):
+        raise NotImplementedError
+
+    def release(self) -> None:
+        pass
+
+    @property
+    def frame_size(self):  # (H, W)
+        raise NotImplementedError
+
+    def set_position(self, frac: float) -> None:
+        """Seek to a relative position (file mode only)."""
+        raise NotImplementedError
+
+    def get_position(self) -> float:
+        return 0.0
+
+
+def _crop(frame: np.ndarray, bounds: tuple[float, float]) -> np.ndarray:
+    if bounds == (0.0, 1.0):
+        return frame
+    h = frame.shape[0]
+    return frame[int(bounds[0] * h):int(bounds[1] * h)]
+
+
+class FileCapture(CaptureBase):
+    """Film mode: lossless sequential batches from a video file."""
+
+    def __init__(self, path: str, bounds: tuple[float, float] = (0.0, 1.0)):
+        import cv2
+
+        self._cv2 = cv2
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise FileNotFoundError(f"cannot open video: {path}")
+        self.path = path
+        self.bounds = bounds
+        self.total = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT)) or -1
+        self.pos = 0
+
+    def read_batch(self, n: int):
+        frames = []
+        for _ in range(n):
+            ok, frame = self.cap.read()
+            if not ok:
+                break
+            self.pos += 1
+            frames.append(_crop(frame[:, :, ::-1], self.bounds))
+        done = len(frames) < n
+        return (np.stack(frames) if frames else
+                np.zeros((0, 1, 1, 3), np.uint8)), done
+
+    @property
+    def frame_size(self):
+        h = int(self.cap.get(self._cv2.CAP_PROP_FRAME_HEIGHT))
+        w = int(self.cap.get(self._cv2.CAP_PROP_FRAME_WIDTH))
+        h0 = int(self.bounds[0] * h)
+        return (int(self.bounds[1] * h) - h0, w)
+
+    def set_position(self, frac: float) -> None:
+        if self.total > 0:
+            idx = int(frac * self.total)
+            self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, idx)
+            self.pos = idx
+
+    def get_position(self) -> float:
+        return self.pos / self.total if self.total > 0 else 0.0
+
+    def release(self) -> None:
+        self.cap.release()
+
+
+class LiveCapture(CaptureBase):
+    """Live mode: a grabber thread keeps only the latest frames (ring buffer,
+    latest-wins — the reference's always-latest semantics for webcams)."""
+
+    def __init__(self, cam_index: int = 0,
+                 bounds: tuple[float, float] = (0.0, 1.0), ring: int = 64):
+        import cv2
+
+        self.cap = cv2.VideoCapture(cam_index)
+        if not self.cap.isOpened():
+            raise RuntimeError(f"cannot open camera {cam_index}")
+        self.bounds = bounds
+        self._ring: list[np.ndarray] = []
+        self._ring_max = ring
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._grab_loop, daemon=True)
+        self._thread.start()
+
+    def _grab_loop(self) -> None:
+        while not self._stop.is_set():
+            ok, frame = self.cap.read()
+            if not ok:
+                time.sleep(0.005)
+                continue
+            frame = _crop(frame[:, :, ::-1].copy(), self.bounds)
+            with self._lock:
+                self._ring.append(frame)
+                if len(self._ring) > self._ring_max:
+                    del self._ring[:len(self._ring) - self._ring_max]
+
+    def read_batch(self, n: int):
+        deadline = time.time() + 2.0
+        while time.time() < deadline:
+            with self._lock:
+                if self._ring:
+                    frames = self._ring[-n:]
+                    self._ring.clear()
+                    return np.stack(frames), False
+            time.sleep(0.002)
+        return np.zeros((0, 1, 1, 3), np.uint8), False
+
+    @property
+    def frame_size(self):
+        with self._lock:
+            if self._ring:
+                return self._ring[-1].shape[:2]
+        return (0, 0)
+
+    def release(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        self.cap.release()
+
+
+class ArrayCapture(CaptureBase):
+    """Film-mode capture over in-memory frames (tests, synthetic games)."""
+
+    def __init__(self, frames, bounds: tuple[float, float] = (0.0, 1.0)):
+        self.frames = [
+            _crop(np.asarray(f, dtype=np.uint8), bounds) for f in frames]
+        self.pos = 0
+
+    def read_batch(self, n: int):
+        chunk = self.frames[self.pos:self.pos + n]
+        self.pos += len(chunk)
+        done = self.pos >= len(self.frames)
+        return (np.stack(chunk) if chunk else
+                np.zeros((0, 1, 1, 3), np.uint8)), done
+
+    @property
+    def frame_size(self):
+        return self.frames[0].shape[:2] if self.frames else (0, 0)
+
+    def set_position(self, frac: float) -> None:
+        self.pos = int(frac * len(self.frames))
+
+    def get_position(self) -> float:
+        return self.pos / len(self.frames) if self.frames else 0.0
+
+
+def open_capture(video, bounds=(0.0, 1.0)) -> CaptureBase:
+    """The reference's ``-v`` semantics: an integer (or digit string) is a
+    camera index, anything else a file path."""
+    if isinstance(video, (list, np.ndarray)):
+        return ArrayCapture(video, bounds)
+    if isinstance(video, int) or (isinstance(video, str) and video.isdigit()):
+        return LiveCapture(int(video), bounds)
+    return FileCapture(str(video), bounds)

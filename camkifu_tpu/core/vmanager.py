@@ -1,0 +1,195 @@
+"""VManager — vision runtime: capture + finder lifecycle + hot-swap.
+
+Parity: ``camkifu/core/vmanager.py`` (SURVEY §2.1/§2.4) — owns the capture,
+instantiates the default finders from the cvconf registries, registers the
+vision commands ("on"/"off"/"pause"/"next"/"vidpos"/algorithm select) into
+the controller API, supports algorithm hot-swap, and runs the processing as
+a daemon worker. ``VManagerSeq`` is the single-threaded variant for batch
+runs and tests (SURVEY §4: bypass threads, don't mock them).
+
+TPU-first: the reference's two finder threads trading frames through locks
+become ONE pipeline worker per manager — each batch flows board-finder →
+stones-finder through the jitted device pipeline (SURVEY §2.4 row 1); the
+capture wrapper's film/live disciplines live in core.capture.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from camkifu_tpu.config import cvconf
+from camkifu_tpu.core.capture import open_capture
+
+
+class VManagerBase:
+    def __init__(self, controller, video=0, bounds=(0.0, 1.0),
+                 bf_class=None, sf_class=None,
+                 batch: int = cvconf.frame_batch):
+        self.controller = controller
+        self.video = video
+        self.bounds = bounds
+        self.batch = batch
+        self.capture = None
+        self.board_finder = None
+        self.stones_finder = None
+        self._bf_class = bf_class or cvconf.bfinders()[0]
+        self._sf_class = sf_class or cvconf.sfinders()[0]
+        if controller is not None:
+            controller.stones_finder = None
+            self._register_api()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def init_capture(self) -> None:
+        if self.capture is None:
+            self.capture = open_capture(self.video, self.bounds)
+
+    def instantiate_finders(self) -> None:
+        self.board_finder = self._bf_class(self)
+        self.stones_finder = self._sf_class(self)
+        if self.controller is not None:
+            self.controller.stones_finder = self.stones_finder
+            self.controller.board_finder = self.board_finder
+
+    # -- frame source for VidProcessors -------------------------------------
+
+    def read_batch(self):
+        self.init_capture()
+        return self.capture.read_batch(self.batch)
+
+    def error_to_gui(self, message: str) -> None:
+        if self.controller is not None:
+            self.controller._notify("error", message)
+
+    # -- controller API commands --------------------------------------------
+
+    def _register_api(self) -> None:
+        self.controller.api.update({
+            "on": self.vision_on,
+            "off": self.vision_off,
+            "pause": self.vision_pause,
+            "next": self.vision_next,
+            "vidpos": self.vidpos,
+            "bfselect": self.select_bf,
+            "sfselect": self.select_sf,
+        })
+
+    def vision_on(self) -> None:
+        raise NotImplementedError
+
+    def vision_off(self) -> None:
+        raise NotImplementedError
+
+    def vision_pause(self, paused: bool = True) -> None:
+        for f in (self.board_finder, self.stones_finder):
+            if f is not None:
+                f.pause(paused)
+
+    def vision_next(self) -> None:
+        for f in (self.board_finder, self.stones_finder):
+            if f is not None:
+                f.next()
+
+    def vidpos(self, frac: float) -> None:
+        self.init_capture()
+        self.capture.set_position(float(frac))
+
+    def _resolve(self, registry, label_or_class):
+        if isinstance(label_or_class, type):
+            return label_or_class
+        for cls in registry:
+            if cls.label == label_or_class or cls.__name__ == label_or_class:
+                return cls
+        raise KeyError(f"unknown finder: {label_or_class!r}")
+
+    def select_bf(self, label_or_class) -> None:
+        self._bf_class = self._resolve(cvconf.bfinders(), label_or_class)
+        self._swap()
+
+    def select_sf(self, label_or_class) -> None:
+        self._sf_class = self._resolve(cvconf.sfinders(), label_or_class)
+        self._swap()
+
+    def _swap(self) -> None:
+        """Hot-swap: interrupt + re-instantiate (reference: kill + respawn)."""
+        self.instantiate_finders()
+
+
+class VManagerSeq(VManagerBase):
+    """Synchronous manager: processes the whole source in the caller's
+    thread. The deterministic harness (filecheck, tests) runs on this."""
+
+    def run(self, max_batches: int | None = None) -> None:
+        self.init_capture()
+        if self.board_finder is None:
+            self.instantiate_finders()
+        batches = 0
+        while max_batches is None or batches < max_batches:
+            frames, done = self.capture.read_batch(self.batch)
+            if frames.shape[0]:
+                self.board_finder._doframe(frames)
+                self.stones_finder._doframe(frames)
+                self.board_finder._count(frames.shape[0])
+                self.stones_finder._count(frames.shape[0])
+            batches += 1
+            if done:
+                break
+
+
+class VManager(VManagerBase):
+    """Threaded manager: one daemon pipeline worker; vision on/off spawns and
+    kills it; commands arrive through the controller API."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    def vision_on(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            return
+        self.init_capture()
+        self.instantiate_finders()
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="vision-pipeline")
+        self._thread.start()
+
+    def vision_off(self) -> None:
+        self._stop.set()
+        for f in (self.board_finder, self.stones_finder):
+            if f is not None:
+                f.interrupt()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    # Alias matching the reference's lifecycle verbs.
+    run = vision_on
+    start = vision_on
+    stop = vision_off
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            bf, sf = self.board_finder, self.stones_finder
+            if bf.paused and not bf._step_once:
+                self._stop.wait(0.02)
+                continue
+            bf._step_once = sf._step_once = False
+            frames, done = self.capture.read_batch(self.batch)
+            if frames.shape[0]:
+                try:
+                    bf._doframe(frames)
+                    sf._doframe(frames)
+                except Exception as exc:
+                    self.error_to_gui(f"{type(exc).__name__}: {exc}")
+                bf._count(frames.shape[0])
+                sf._count(frames.shape[0])
+            if done:
+                break
+        self._stop.set()
+
+    def is_running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()

@@ -81,3 +81,25 @@ def classify_canonical(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
 
 
 classify_batch = jax.vmap(classify_canonical)
+
+
+# ---------------------------------------------------------------------------
+# Host finder class (cvconf-registered; SURVEY §2.1 sf_clustering).
+# ---------------------------------------------------------------------------
+
+from camkifu_tpu.stone.stonesfinder import StonesFinder as _SF  # noqa: E402
+
+
+class SfClustering(_SF):
+    """Whole-board k-means finder host: per-frame classification, no
+    temporal state (the meta finder adds votes)."""
+
+    label = "clustering"
+
+    def _find(self, frames, corners):
+        import jax.numpy as jnp
+
+        from camkifu_tpu import pipeline
+
+        return pipeline.read_board_batch(jnp.asarray(frames),
+                                         jnp.asarray(corners, jnp.float32))

@@ -95,3 +95,29 @@ def classify_canonical(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
 
 
 classify_batch = jax.vmap(classify_canonical)
+
+
+# ---------------------------------------------------------------------------
+# Host finder class (cvconf-registered; SURVEY §2.1 sf_contours).
+# ---------------------------------------------------------------------------
+
+from camkifu_tpu.ops.color import to_float  # noqa: E402
+from camkifu_tpu.ops.warp import warp_batch_fixed  # noqa: E402
+from camkifu_tpu.stone.stonesfinder import StonesFinder as _SF  # noqa: E402
+
+
+@jax.jit
+def _read_batch_contours(fb, cs):
+    with jax.default_matmul_precision("float32"):
+        canon = warp_batch_fixed(to_float(fb), cs)
+        return classify_batch(canon)
+
+
+class SfContours(_SF):
+    """Contour-equivalent finder host: per-frame disc-test classification."""
+
+    label = "contours"
+
+    def _find(self, frames, corners):
+        return _read_batch_contours(jnp.asarray(frames),
+                                    jnp.asarray(corners, jnp.float32))

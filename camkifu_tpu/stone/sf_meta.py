@@ -179,3 +179,42 @@ def set_stable(state: MetaState, board: np.ndarray) -> MetaState:
     board state is ground truth)."""
     return state._replace(stable=jnp.asarray(board.astype(np.int8)),
                           votes=jnp.zeros_like(state.votes))
+
+
+# ---------------------------------------------------------------------------
+# Host finder class (default algorithm; SURVEY §2.1 sf_meta).
+# ---------------------------------------------------------------------------
+
+from camkifu_tpu.stone.stonesfinder import StonesFinder as _SF  # noqa: E402
+
+
+class SfMeta(_SF):
+    """The production finder host: carries the device scan state across
+    batches; human corrections invalidate votes at the touched positions."""
+
+    label = "meta"
+
+    def __init__(self, vmanager):
+        super().__init__(vmanager)
+        self.state = init_state(gsize=self.gsize)
+        # --sgf resume: the loaded game's board is ground truth (SURVEY §5).
+        if self.controller is not None:
+            board = self.controller.stones()
+            if board.any():
+                self.state = set_stable(self.state, board)
+                self._resync()
+
+    def _find(self, frames, corners):
+        import jax.numpy as jnp
+
+        self.state, labels, conf, agitation = read_batch(
+            self.state, jnp.asarray(frames),
+            jnp.asarray(corners, jnp.float32), gsize=self.gsize)
+        import numpy as _np
+        self.metadata["agitation"] = round(float(_np.asarray(agitation).mean()), 4)
+        trust = _np.asarray(self.state.trust)
+        self.metadata["regions_promoted"] = int((trust >= TRUST_PROMOTE).sum())
+        return labels, conf
+
+    def _invalidate(self, positions) -> None:
+        self.state = reset_votes(self.state, positions)

@@ -1,0 +1,133 @@
+"""StonesFinder ABC — the contract all stone-detection algorithms implement.
+
+Parity: ``camkifu/stone/stonesfinder.py`` (SURVEY §2.1) — consumes canonical
+frames (warped via the board finder's homography), owns grid geometry
+(``PosGrid``), synchronizes with the game model, and emits moves through the
+controller: ``suggest(color, r, c)`` → ``controller.pipe("append", …)``;
+receives human fixes through ``corrected()``.
+
+TPU-first: subclasses implement ``_find(frames, corners) → (labels, conf)``
+as a batched device computation; the base class turns per-frame readings into
+moves (core.gamesync.MoveExtractor) and handles model synchronization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.core.gamesync import MoveExtractor
+from camkifu_tpu.core.video import VidProcessor
+from camkifu_tpu.gamemodel.move import INT_TO_COLOR, Move
+
+
+class PosGrid:
+    """Intersection pixel centers in canonical coordinates, with drift
+    learning (SURVEY §2.1: ``learn()`` nudges positions toward observed stone
+    centers; ``closest()`` maps a pixel to its intersection)."""
+
+    def __init__(self, gsize: int = guiconf.gsize,
+                 zone: int = cvconf.zone_size):
+        self.gsize = gsize
+        self.zone = zone
+        base = (np.arange(gsize, dtype=np.float32) + 0.5) * zone - 0.5
+        self.centers = np.stack(
+            np.meshgrid(base, base, indexing="ij"), axis=-1)  # (g,g,2) y,x
+        self.offsets = np.zeros_like(self.centers)
+
+    def pos(self, r: int, c: int) -> tuple[float, float]:
+        y, x = self.centers[r, c] + self.offsets[r, c]
+        return float(y), float(x)
+
+    def learn(self, r: int, c: int, observed_yx, rate: float = 0.2) -> None:
+        """Drift intersection (r, c) toward an observed stone center."""
+        target = np.asarray(observed_yx, np.float32) - self.centers[r, c]
+        limit = self.zone * 0.4
+        target = np.clip(target, -limit, limit)
+        self.offsets[r, c] = (1 - rate) * self.offsets[r, c] + rate * target
+
+    def closest(self, y: float, x: float) -> tuple[int, int]:
+        pts = self.centers + self.offsets
+        d = (pts[..., 0] - y) ** 2 + (pts[..., 1] - x) ** 2
+        idx = int(np.argmin(d))
+        return idx // self.gsize, idx % self.gsize
+
+
+class StonesFinder(VidProcessor):
+    label = "sf-base"
+
+    def __init__(self, vmanager):
+        super().__init__(vmanager)
+        self.gsize = guiconf.gsize
+        self.grid = PosGrid(self.gsize)
+        self.controller = getattr(vmanager, "controller", None)
+        self.extractor = MoveExtractor(gsize=self.gsize,
+                                       on_move=self._emit)
+
+    # -- model synchronization ---------------------------------------------
+
+    def get_stones(self) -> np.ndarray:
+        """Snapshot of the model board (under the rules lock) — what readings
+        are diffed against (SURVEY §3.3)."""
+        if self.controller is not None:
+            return self.controller.stones()
+        return self.extractor.state()
+
+    def _resync(self) -> None:
+        """Adopt the controller's board as the extractor's ground state
+        (after human edits / navigation)."""
+        if self.controller is None:
+            return
+        labels = self.controller.stones()
+        grid = np.full((self.gsize, self.gsize), "E", dtype="<U1")
+        grid[labels == 1] = "B"
+        grid[labels == 2] = "W"
+        self.extractor.rule.stones = grid
+        self.extractor.rule.discard()
+
+    # -- the vision→model channel -----------------------------------------
+
+    def _emit(self, move: Move) -> None:
+        if self.controller is not None:
+            self.suggest(move.color, move.row, move.col)
+
+    def suggest(self, color: str, r: int, c: int) -> None:
+        move = Move("np", (color, r, c), gsize=self.gsize)
+        self.controller.pipe("append", move)
+        self.metadata["last_suggest"] = repr(move)
+
+    # -- frame processing ---------------------------------------------------
+
+    def _doframe(self, frames) -> None:
+        corners = self._corners()
+        if corners is None:
+            self.metadata["status"] = "waiting for board"
+            return
+        labels, conf = self._find(frames, corners)
+        labels = np.asarray(labels)
+        for i in range(labels.shape[0]):
+            self.extractor.advance(labels[i])
+
+    def _corners(self):
+        bf = getattr(self.vmanager, "board_finder", None)
+        if bf is not None and bf.ready():
+            return bf.corners_array
+        return None
+
+    def _find(self, frames, corners):
+        """Batched device classification → (labels (B, g, g), conf)."""
+        raise NotImplementedError
+
+    # -- human-correction feedback (SURVEY §3.4) ----------------------------
+
+    def corrected(self, err: Move | None, exp: Move | None) -> None:
+        """A human fixed the game: re-sync and forget contrary evidence so
+        the same misread does not immediately re-suggest."""
+        self.extractor.apply_correction(err, exp)
+        self._resync()
+        self._invalidate([p for p in
+                          [(err.row, err.col) if err else None,
+                           (exp.row, exp.col) if exp else None] if p])
+
+    def _invalidate(self, positions) -> None:
+        """Subclasses with temporal state drop votes at these positions."""

@@ -1,0 +1,194 @@
+"""Host runtime: VManager(Seq) + ControllerV(Seq) + finder hosts + ckmain.
+
+These drive the same public surfaces the reference exposes (SURVEY §3.1/§3.5):
+controller API commands, the pipe channel, finder hot-swap, corrections,
+headless end-to-end video → SGF.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from camkifu_tpu.board.bf_manual import BoardFinderManual
+from camkifu_tpu.core.capture import ArrayCapture
+from camkifu_tpu.core.controllerv import ControllerV, ControllerVSeq
+from camkifu_tpu.core.vmanager import VManager, VManagerSeq
+from camkifu_tpu.gamemodel.move import B, W, Move
+from camkifu_tpu.stone.sf_clustering import SfClustering
+from camkifu_tpu.stone.sf_tuto import SfTuto
+from camkifu_tpu.utils import synth
+
+HW = (360, 640)
+
+
+def make_game(n_moves=6, fpm=2, seed=13):
+    moves = synth.sample_moves(n_moves, seed=seed)
+    frames = [f for f, _ in synth.render_game(
+        moves, frames_per_move=fpm, frame_hw=HW, empty_leadin=1, seed=seed)]
+    return moves, frames, synth.default_corners(HW)
+
+
+def seq_stack(frames, corners, sf_class=SfClustering, batch=8, sgf=None):
+    controller = ControllerVSeq(sgffile=sgf)
+    vm = VManagerSeq(controller, video=None, bf_class=BoardFinderManual,
+                     sf_class=sf_class, batch=batch)
+    vm.capture = ArrayCapture(frames)
+    vm.instantiate_finders()
+    vm.board_finder.key = None           # no corner persistence in tests
+    vm.board_finder.set_corners(corners)
+    return controller, vm
+
+
+def test_seq_end_to_end_video_to_kifu():
+    moves, frames, corners = make_game()
+    controller, vm = seq_stack(frames, corners)
+    vm.run()
+    detected = controller.kifu.moves()
+    assert [(m.color, m.row, m.col) for m in detected] == \
+        [(m.color, m.row, m.col) for m in moves]
+    # Captures flow through the controller rules: board state is consistent.
+    assert (controller.stones() == vm.stones_finder.extractor.state()).all()
+
+
+def test_controller_api_commands_and_navigation():
+    moves, frames, corners = make_game(n_moves=4)
+    controller, vm = seq_stack(frames, corners)
+    vm.run()
+    assert len(controller.kifu) == 4
+    controller.pipe("backward")
+    controller.pipe("backward")
+    assert controller.nav.position == 2
+    assert (controller.stones() != 0).sum() == 2
+    r0, c0 = moves[0].get_coord("np")
+    assert controller.stones()[r0, c0] != 0
+    controller.pipe("end")
+    assert (controller.stones() != 0).sum() >= 3   # minus any captures
+    controller.pipe("beginning")
+    assert (controller.stones() == 0).all()
+
+
+def test_hot_swap_stones_finder():
+    moves, frames, corners = make_game(n_moves=3)
+    controller, vm = seq_stack(frames, corners)
+    controller.pipe("sfselect", "contours")
+    vm.board_finder.key = None
+    vm.board_finder.set_corners(corners)
+    assert vm.stones_finder.label == "contours"
+    vm.run()
+    assert len(controller.kifu) == 3
+
+
+def test_corrected_feedback_resyncs_finder():
+    moves, frames, corners = make_game(n_moves=3)
+    controller, vm = seq_stack(frames, corners)
+    vm.run()
+    sf = vm.stones_finder
+    wrong = controller.kifu.moves()[-1]
+    fixed = Move("np", (wrong.color, wrong.row,
+                        (wrong.col + 1) % 19), gsize=19)
+    controller.relocate(wrong, fixed)
+    controller.corrected(wrong, fixed)
+    assert sf.extractor.state()[fixed.row, fixed.col] != 0
+    assert sf.extractor.state()[wrong.row, wrong.col] == 0
+
+
+def test_sf_tuto_pipes_canned_moves():
+    _, frames, corners = make_game(n_moves=1, fpm=1)
+    controller, vm = seq_stack(frames, corners, sf_class=SfTuto, batch=2)
+    vm.run()
+    got = [(m.color, m.row, m.col) for m in controller.kifu.moves()]
+    from camkifu_tpu.stone.sf_tuto import CANNED
+    assert got == list(CANNED[:len(got)]) and len(got) >= 1
+
+
+def test_threaded_vmanager_on_off():
+    moves, frames, corners = make_game(n_moves=3)
+    controller = ControllerV()
+    vm = VManager(controller, video=None, bf_class=BoardFinderManual,
+                  sf_class=SfClustering, batch=8)
+    vm.capture = ArrayCapture(frames)
+    vm.init_capture = lambda: None       # keep the injected capture
+    vm.vision_on()
+    vm.board_finder.key = None
+    vm.board_finder.set_corners(corners)
+    import time
+    deadline = time.time() + 60
+    while time.time() < deadline and vm.is_running():
+        controller.process_pipe()
+        time.sleep(0.02)
+    vm.vision_off()
+    controller.process_pipe()
+    assert len(controller.kifu) == 3
+    assert controller.kifu.moves()[0] == moves[0]
+
+
+def test_posgrid_learn_and_closest():
+    from camkifu_tpu.stone.stonesfinder import PosGrid
+    grid = PosGrid()
+    y, x = grid.pos(0, 0)
+    assert (y, x) == (7.5, 7.5)
+    assert grid.closest(7.0, 8.0) == (0, 0)
+    assert grid.closest(100.0, 200.0) == (6, 12)
+    for _ in range(30):
+        grid.learn(0, 0, (10.0, 7.5))
+    assert abs(grid.pos(0, 0)[0] - 10.0) < 0.3
+
+
+def test_goban_corners_ordering_and_adjust():
+    from camkifu_tpu.board.boardfinder import GobanCorners
+    gc = GobanCorners()
+    for p in [(100, 100), (10, 90), (95, 5), (12, 8)]:   # random order
+        gc.add(p)
+    assert gc.ready()
+    pts = gc.points
+    assert pts[0].tolist() == [12, 8]       # tl
+    assert pts[2].tolist() == [100, 100]    # br
+    gc.add((11, 7))                          # adjust nearest (tl)
+    assert gc.points[0].tolist() == [11, 7]
+
+
+def test_bf_manual_persistence(tmp_path, monkeypatch):
+    from camkifu_tpu.board import bf_manual
+    monkeypatch.setattr(bf_manual, "PERSIST_PATH",
+                        str(tmp_path / "corners.json"))
+
+    class FakeVM:
+        video = "game1.avi"
+        controller = None
+
+    bf = BoardFinderManual(FakeVM())
+    for x, y in [(10, 10), (600, 12), (610, 350), (8, 340)]:
+        bf.onclick(x, y)
+    assert bf.ready()
+
+    bf2 = BoardFinderManual(FakeVM())    # new instance: reloads from disk
+    assert bf2.ready()
+    assert np.allclose(bf2.corners_array, bf.corners_array)
+
+
+def test_ckmain_headless_on_real_video(tmp_path):
+    import cv2
+
+    from camkifu_tpu import ckmain
+
+    moves, frames, corners = make_game(n_moves=4, fpm=2)
+    path = str(tmp_path / "game.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (HW[1], HW[0]))
+    assert vw.isOpened()
+    for f in frames:
+        vw.write(f[:, :, ::-1])
+    vw.release()
+
+    sgf_path = str(tmp_path / "out.sgf")
+    corner_arg = ",".join(str(round(float(v), 1))
+                          for v in corners.reshape(-1))
+    rc = ckmain.main(["-v", path, "--sgf", sgf_path, "--nogui",
+                      "--sf", "clustering", "--corners", corner_arg,
+                      "--batch", "8"])
+    assert rc == 0
+    from camkifu_tpu.gamemodel.kifu import Kifu
+    got = Kifu.load(sgf_path).moves()
+    assert [(m.color, m.row, m.col) for m in got] == \
+        [(m.color, m.row, m.col) for m in moves]
