@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main() -> None:
+    from camkifu_tpu.utils import jaxcache
+    jaxcache.enable()
+
     import jax
     import jax.numpy as jnp
 

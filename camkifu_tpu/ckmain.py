@@ -55,6 +55,8 @@ def _resolve(registry, name, default):
 
 def main(argv=None) -> int:
     args = get_argparser().parse_args(argv)
+    from camkifu_tpu.utils import jaxcache
+    jaxcache.enable()
 
     bfs, sfs = cvconf.bfinders(), cvconf.sfinders()
     bf_class = _resolve(bfs, args.bf, bfs[0])

@@ -144,6 +144,8 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
 
 
 def main(argv=None) -> int:
+    from camkifu_tpu.utils import jaxcache
+    jaxcache.enable()
     ap = argparse.ArgumentParser(
         description="Score the vision pipeline against a reference SGF.")
     ap.add_argument("video", help="video file, or synth:N[:seed]")
