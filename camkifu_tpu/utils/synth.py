@@ -91,9 +91,12 @@ def default_corners(frame_hw: tuple[int, int] = (1080, 1920),
 def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                  frame_hw: tuple[int, int] = (1080, 1920),
                  noise: float = 3.0, seed: int = 0,
-                 stone_jitter: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+                 stone_jitter: float = 0.0,
+                 light_gradient: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Render a camera frame of the given board state.
 
+    light_gradient: relative brightness falloff corner-to-corner (0.3 =
+    one side of the frame 30% darker — uneven room lighting).
     Returns (frame uint8 RGB (H, W, 3), corners (4, 2) float32 (x, y)).
     """
     import cv2
@@ -120,6 +123,13 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
     mask = cv2.warpPerspective(np.full(canon.shape[:2], 255, np.uint8), M,
                                (w, h), flags=cv2.INTER_NEAREST)
     frame[mask > 0] = warped[mask > 0]
+    if light_gradient:
+        gx = np.linspace(1.0, 1.0 - light_gradient, w, dtype=np.float32)
+        gy = np.linspace(1.0, 1.0 - 0.5 * light_gradient, h,
+                         dtype=np.float32)
+        frame = np.clip(frame.astype(np.float32)
+                        * (gy[:, None] * gx[None, :])[..., None],
+                        0, 255).astype(np.uint8)
     if noise:
         frame = np.clip(frame.astype(np.float32)
                         + rng.normal(0, noise, frame.shape), 0, 255

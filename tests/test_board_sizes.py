@@ -1,0 +1,51 @@
+"""Non-19 board sizes end-to-end: the reference hardcodes gsize=19 (SURVEY
+§2.2 guiconf: "rebuild should parameterize but default to 19")."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from camkifu_tpu import pipeline
+from camkifu_tpu.core.gamesync import MoveExtractor, score_moves
+from camkifu_tpu.gamemodel.kifu import Kifu
+from camkifu_tpu.gamemodel.move import B, W, Move
+from camkifu_tpu.gamemodel.rules import RuleUnsafe
+from camkifu_tpu.utils import synth
+
+
+@pytest.mark.parametrize("gsize", [9, 13])
+def test_game_model_other_sizes(gsize):
+    rule = RuleUnsafe(gsize=gsize)
+    rule.put(Move("np", (B, 0, 0), gsize=gsize))
+    rule.confirm()
+    with pytest.raises(ValueError):
+        Move("np", (B, gsize, 0), gsize=gsize)
+    kifu = Kifu(gsize=gsize)
+    kifu.append(Move("np", (B, 0, 0), gsize=gsize))
+    assert kifu.get_info("SZ") == str(gsize)
+
+
+@pytest.mark.parametrize("gsize", [9, 13])
+def test_pipeline_reads_other_sizes(gsize):
+    labels = np.zeros((gsize, gsize), np.int8)
+    labels[1, 1] = 1
+    labels[gsize - 2, gsize - 2] = 2
+    labels[gsize // 2, gsize // 2] = 1
+    frame, corners = synth.render_frame(labels, frame_hw=(480, 854))
+    out, conf = pipeline.read_board_batch(
+        jnp.asarray(frame[None]), jnp.asarray(corners), gsize=gsize)
+    assert out.shape == (1, gsize, gsize)
+    assert np.array_equal(np.asarray(out[0]), labels)
+
+
+def test_9x9_game_to_moves():
+    gsize = 9
+    moves = synth.sample_moves(8, gsize=gsize, seed=2)
+    corners = synth.default_corners((480, 854))
+    ex = MoveExtractor(gsize=gsize)
+    for state, _ in synth.game_states(moves, gsize=gsize):
+        frame, _ = synth.render_frame(state, corners, (480, 854))
+        out, _ = pipeline.read_board_batch(
+            jnp.asarray(frame[None]), jnp.asarray(corners), gsize=gsize)
+        ex.advance(np.asarray(out[0]))
+    assert score_moves(ex.moves, moves)["agreement"] == 1.0
