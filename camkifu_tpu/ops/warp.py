@@ -97,7 +97,6 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x, y: any matching shape. Returns shape x.shape + (C,), float32.
     """
     h, w = img.shape[0], img.shape[1]
-    img = img.astype(jnp.float32)
     x = jnp.clip(x, 0.0, w - 1.0)
     y = jnp.clip(y, 0.0, h - 1.0)
     x0 = jnp.floor(x)
@@ -108,10 +107,13 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     y0 = y0.astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    p00 = img[y0, x0]
-    p01 = img[y0, x1]
-    p10 = img[y1, x0]
-    p11 = img[y1, x1]
+    # Gather in the source dtype and convert only the taps: converting the
+    # whole frame first would materialize a 4× f32 copy of every frame in
+    # HBM (24 MB at 1080p) just to read ~4 taps per canonical pixel from it.
+    p00 = img[y0, x0].astype(jnp.float32)
+    p01 = img[y0, x1].astype(jnp.float32)
+    p10 = img[y1, x0].astype(jnp.float32)
+    p11 = img[y1, x1].astype(jnp.float32)
     fx = fx[..., None]
     fy = fy[..., None]
     top = p00 * (1 - fx) + p01 * fx

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
-from camkifu_tpu.ops.color import to_float
 from camkifu_tpu.ops.warp import warp_batch, warp_batch_fixed
 from camkifu_tpu.stone import sf_clustering
 
@@ -46,10 +45,13 @@ def read_board_batch(frames: jnp.ndarray, corners: jnp.ndarray,
     bf16 (neural classifier, Hough) opt in explicitly instead.
     """
     with jax.default_matmul_precision("float32"):
-        frames = to_float(frames)
+        # Warp straight from uint8 (the gather converts only its taps) and
+        # rescale the small canonical output — converting frames first would
+        # write a 4× f32 copy of every frame to HBM.
+        scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
         if corners.ndim == 2:
-            canon = warp_batch_fixed(frames, corners, gsize, zone)
+            canon = warp_batch_fixed(frames, corners, gsize, zone) * scale
         else:
-            canon = warp_batch(frames, corners, gsize, zone)
+            canon = warp_batch(frames, corners, gsize, zone) * scale
         return jax.vmap(
             lambda c: sf_clustering.classify_canonical(c, gsize, zone))(canon)

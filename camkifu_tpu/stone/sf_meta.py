@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
 from camkifu_tpu.ops import background
-from camkifu_tpu.ops.color import rgb_to_gray, to_float
+from camkifu_tpu.ops.color import rgb_to_gray
 from camkifu_tpu.ops.warp import warp_to_canonical
 from camkifu_tpu.stone import sf_clustering, sf_contours
 
@@ -145,14 +145,14 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
     """
     with jax.default_matmul_precision("float32"):
         per_frame = corners.ndim == 3
+        scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
 
         def body(carry, inp):
             if per_frame:
                 frame, cs = inp
             else:
                 frame, cs = inp, corners
-            canonical = to_float(
-                warp_to_canonical(to_float(frame), cs, gsize, zone))
+            canonical = warp_to_canonical(frame, cs, gsize, zone) * scale
             return step_frame(carry, canonical, gsize, zone)
 
         xs = (frames, corners) if per_frame else frames

@@ -53,6 +53,12 @@ class PosGrid:
         return idx // self.gsize, idx % self.gsize
 
 
+#: Consecutive stabilized frames an intersection must contradict the game
+#: state before a bulk correction fires (the reference's periodic re-scan →
+#: ``pipe("bulk", …)`` self-correction; SURVEY §3.3).
+BULK_CORRECT_AFTER = 40
+
+
 class StonesFinder(VidProcessor):
     label = "sf-base"
 
@@ -63,6 +69,7 @@ class StonesFinder(VidProcessor):
         self.controller = getattr(vmanager, "controller", None)
         self.extractor = MoveExtractor(gsize=self.gsize,
                                        on_move=self._emit)
+        self._contradict = np.zeros((self.gsize, self.gsize), np.int32)
 
     # -- model synchronization ---------------------------------------------
 
@@ -107,6 +114,7 @@ class StonesFinder(VidProcessor):
         labels = np.asarray(labels)
         for i in range(labels.shape[0]):
             self.extractor.advance(labels[i])
+            self._track_contradictions(labels[i])
 
     def _corners(self):
         bf = getattr(self.vmanager, "board_finder", None)
@@ -117,6 +125,36 @@ class StonesFinder(VidProcessor):
     def _find(self, frames, corners):
         """Batched device classification → (labels (B, g, g), conf)."""
         raise NotImplementedError
+
+    # -- self-correction: persistent contradictions → bulk fixes ------------
+
+    def _track_contradictions(self, reading: np.ndarray) -> None:
+        """The reference periodically re-scans the whole board and pushes
+        bulk corrections for mistakes it committed earlier (SURVEY §3.3).
+        Here: an intersection whose stabilized reading contradicts the game
+        state for BULK_CORRECT_AFTER consecutive frames (the move extractor
+        having found no legal move explaining it) is force-corrected through
+        the controller's bulk channel."""
+        state = self.extractor.state()
+        diff = reading != state
+        self._contradict = np.where(diff, self._contradict + 1, 0)
+        hits = np.argwhere(self._contradict >= BULK_CORRECT_AFTER)
+        if hits.size == 0:
+            return
+        fixes = []
+        for r, c in hits:
+            r, c = int(r), int(c)
+            old, new = int(state[r, c]), int(reading[r, c])
+            err = Move("np", (INT_TO_COLOR[old], r, c), gsize=self.gsize) \
+                if old else None
+            exp = Move("np", (INT_TO_COLOR[new], r, c), gsize=self.gsize) \
+                if new else None
+            fixes.append((err, exp))
+            self.extractor.apply_correction(err, exp)
+            self._contradict[r, c] = 0
+        if self.controller is not None:
+            self.controller.pipe("bulk", fixes)
+        self.metadata["bulk_fixes"] = len(fixes)
 
     # -- human-correction feedback (SURVEY §3.4) ----------------------------
 
