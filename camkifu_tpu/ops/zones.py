@@ -36,6 +36,16 @@ def disc_mask(zone: int = cvconf.zone_size, radius_frac: float = 0.42
     return (dist <= radius_frac * zone).astype(np.float32)
 
 
+def _corner_indices(zone: int, frac: float = 0.36) -> np.ndarray:
+    """Flat indices of the four corner patches of a zone (pixels with both
+    |dx| and |dy| beyond frac·zone from the center) — bare wood at any stone
+    density (stone discs and grid lines never reach them)."""
+    r = np.arange(zone, dtype=np.float32) - (zone - 1) / 2.0
+    far = np.abs(r) > frac * zone
+    sel = far[:, None] & far[None, :]
+    return np.nonzero(sel.reshape(-1))[0]
+
+
 def zone_features(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
                   zone: int = cvconf.zone_size) -> jnp.ndarray:
     """Per-intersection feature vector for stone classification.
@@ -54,13 +64,15 @@ def zone_features(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
     mask = disc_mask(zone)                                   # (z,z)
     inv = 1.0 / jnp.maximum(mask.sum(), 1.0)
     mean_rgb = jnp.einsum("ghyxc,yx->ghc", zones, mask) * inv
-    # Background per channel: ring *median* — the ring mean is contaminated
-    # by the stone's blurred edge spilling past the disc, which shrinks the
-    # measured contrast of true stones (white especially).
-    ring_idx = np.nonzero(np.asarray(mask).reshape(-1) < 0.5)[0]
+    # Background per channel: the median of the zone's *corner* pixels.
+    # Ring means are contaminated by the stone's blurred edge; and on dense
+    # boards even ring medians fail (most ring pixels are neighbor-stone
+    # spill). Zone corners are the points farthest from the own stone AND
+    # from all four neighbors, so they stay bare wood at any density, and
+    # grid lines cross edge midpoints, not corners.
     c = zones.shape[-1]
     flat = zones.reshape(gsize, gsize, zone * zone, c)
-    bg_rgb = jnp.median(flat[:, :, ring_idx, :], axis=2)     # (g,g,C)
+    bg_rgb = jnp.median(flat[:, :, _corner_indices(zone), :], axis=2)
     luma = rgb_to_gray(zones)                                # (g,g,z,z)
     mean_luma = jnp.einsum("ghyx,yx->gh", luma, mask) * inv
     var_luma = jnp.einsum("ghyx,yx->gh", luma**2, mask) * inv - mean_luma**2
