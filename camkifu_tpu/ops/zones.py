@@ -36,7 +36,7 @@ def disc_mask(zone: int = cvconf.zone_size, radius_frac: float = 0.42
     return (dist <= radius_frac * zone).astype(np.float32)
 
 
-def _corner_indices(zone: int, frac: float = 0.36) -> np.ndarray:
+def corner_indices(zone: int, frac: float = 0.36) -> np.ndarray:
     """Flat indices of the four corner patches of a zone (pixels with both
     |dx| and |dy| beyond frac·zone from the center) — bare wood at any stone
     density (stone discs and grid lines never reach them)."""
@@ -72,7 +72,7 @@ def zone_features(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
     # grid lines cross edge midpoints, not corners.
     c = zones.shape[-1]
     flat = zones.reshape(gsize, gsize, zone * zone, c)
-    bg_rgb = jnp.median(flat[:, :, _corner_indices(zone), :], axis=2)
+    bg_rgb = jnp.median(flat[:, :, corner_indices(zone), :], axis=2)
     luma = rgb_to_gray(zones)                                # (g,g,z,z)
     mean_luma = jnp.einsum("ghyx,yx->gh", luma, mask) * inv
     var_luma = jnp.einsum("ghyx,yx->gh", luma**2, mask) * inv - mean_luma**2
