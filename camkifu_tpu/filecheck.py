@@ -24,6 +24,32 @@ from camkifu_tpu.core.gamesync import MoveExtractor, score_moves
 from camkifu_tpu.gamemodel.kifu import Kifu
 
 
+class KifuChecker:
+    """Align a detected move sequence against a reference kifu and report.
+
+    Parity: the reference's checker in ``test/mains`` (SURVEY §3.5 — "#good /
+    #wrong / missing moves"). ``report()`` returns the metric dict;
+    ``diff_lines()`` lists per-move disagreements for debugging.
+    """
+
+    def __init__(self, reference_moves):
+        self.reference = list(reference_moves)
+
+    def report(self, detected) -> dict:
+        return score_moves(list(detected), self.reference)
+
+    def diff_lines(self, detected) -> list[str]:
+        out = []
+        detected = list(detected)
+        n = max(len(detected), len(self.reference))
+        for i in range(n):
+            ref = self.reference[i] if i < len(self.reference) else None
+            det = detected[i] if i < len(detected) else None
+            if ref != det:
+                out.append(f"move {i + 1}: expected {ref!r}, got {det!r}")
+        return out
+
+
 def iter_video_frames(path: str, bounds=(0.0, 1.0)):
     """Yield RGB uint8 frames from a video file (host-side cv2 decode)."""
     import cv2
@@ -137,9 +163,11 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
 
     extractor, stats = run_pipeline(frames_iter, corners, batch=batch,
                                     use_meta=use_meta)
-    report = score_moves(extractor.moves, ref_moves)
+    checker = KifuChecker(ref_moves)
+    report = checker.report(extractor.moves)
     report.update(stats)
     report["rejected_readings"] = extractor.rejected
+    report["diff"] = checker.diff_lines(extractor.moves)[:20]
     return report
 
 

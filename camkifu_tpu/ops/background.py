@@ -30,7 +30,12 @@ def agitation_score(luma_small: jnp.ndarray, bg: jnp.ndarray,
 def update_background(bg: jnp.ndarray, luma_small: jnp.ndarray,
                       agitation: jnp.ndarray,
                       ema: float = cvconf.background_ema) -> jnp.ndarray:
-    """EMA background update, frozen while the scene is agitated (so a hand
-    resting over the board does not get learned as background)."""
-    rate = jnp.where(agitation > cvconf.agitation_threshold, 0.0, ema)
+    """EMA background update, slowed 10× while the scene is agitated.
+
+    Slowed, not frozen: a full freeze deadlocks when the model initializes
+    on an occluded scene (everything reads agitated forever, and a frozen
+    background can never converge to open the gate); the slow leak lets any
+    *persistent* scene become background within a few seconds while a hand
+    sweeping for a moment still barely imprints."""
+    rate = jnp.where(agitation > cvconf.agitation_threshold, 0.1 * ema, ema)
     return bg * (1.0 - rate) + luma_small * rate

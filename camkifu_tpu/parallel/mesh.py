@@ -49,3 +49,41 @@ def multistream_read(mesh: Mesh, frames: jnp.ndarray, corners: jnp.ndarray,
     corners = jax.device_put(corners, sh)
     with mesh:
         return _read_all_streams(frames, corners, gsize, zone)
+
+
+@functools.partial(jax.jit, static_argnames=("gsize", "zone"))
+def _meta_all_streams(states, frames, corners, gsize, zone):
+    from camkifu_tpu.stone import sf_meta
+
+    def per_stream(st, f, c):
+        return sf_meta.read_batch(st, f, c, gsize=gsize, zone=zone)
+
+    return jax.vmap(per_stream)(states, frames, corners)
+
+
+def multistream_init_states(n_streams: int, gsize: int = guiconf.gsize):
+    """Stacked SfMeta scan states, one per stream (leading stream axis)."""
+    from camkifu_tpu.stone import sf_meta
+
+    one = sf_meta.init_state(gsize=gsize)
+    return jax.tree.map(
+        lambda leaf: jnp.broadcast_to(leaf, (n_streams,) + leaf.shape), one)
+
+
+def multistream_read_meta(mesh: Mesh, states, frames: jnp.ndarray,
+                          corners: jnp.ndarray,
+                          gsize: int = guiconf.gsize,
+                          zone: int = cvconf.zone_size):
+    """Config 5 with full temporal tracking: each stream carries its own
+    SfMeta vote/background state, sharded with its frames over the mesh.
+
+    states: stacked MetaState pytree (from multistream_init_states);
+    frames: (n_streams, B, H, W, 3); corners: (n_streams, 4, 2).
+    Returns (new_states, labels (S, B, g, g), conf, agitation (S, B)).
+    """
+    sh = stream_sharding(mesh)
+    states = jax.tree.map(lambda leaf: jax.device_put(leaf, sh), states)
+    frames = jax.device_put(frames, sh)
+    corners = jax.device_put(corners, sh)
+    with mesh:
+        return _meta_all_streams(states, frames, corners, gsize, zone)

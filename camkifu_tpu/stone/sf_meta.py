@@ -44,6 +44,7 @@ class MetaState(NamedTuple):
     votes: jnp.ndarray        # (g, g, 3) decayed per-label vote mass
     stable: jnp.ndarray       # (g, g) int8 — last committed board reading
     bg: jnp.ndarray           # (S/f, S/f) float32 EMA luma background
+    prev: jnp.ndarray         # (S/f, S/f) float32 previous-frame luma
     trust: jnp.ndarray        # (3, 3) float32 region agreement EMA
     frame_count: jnp.ndarray  # () int32
 
@@ -55,6 +56,7 @@ def init_state(gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
         votes=jnp.zeros((gsize, gsize, 3), jnp.float32),
         stable=jnp.zeros((gsize, gsize), jnp.int8),
         bg=jnp.full((s, s), -1.0, jnp.float32),   # -1 → "uninitialized"
+        prev=jnp.full((s, s), -1.0, jnp.float32),
         trust=jnp.zeros((3, 3), jnp.float32),
         frame_count=jnp.zeros((), jnp.int32),
     )
@@ -76,7 +78,20 @@ def step_frame(state: MetaState, canonical: jnp.ndarray,
     """
     luma_small = background.downsample_luma(rgb_to_gray(canonical), BG_FACTOR)
     bg = jnp.where(state.bg[0, 0] < 0, luma_small, state.bg)  # first-frame init
-    agitation = background.agitation_score(luma_small, bg)
+    prev = jnp.where(state.prev[0, 0] < 0, luma_small, state.prev)
+
+    # Agitation = frame-to-frame motion (the reference's absdiff gate,
+    # SURVEY §3.3). Motion reacts and *clears* instantly — gating on the EMA
+    # background would keep zones locked for seconds after a hand passes
+    # (the imprint leaks out slowly). The background model still feeds the
+    # subtraction/confidence path.
+    moving = jnp.abs(luma_small - prev) > 0.08           # (S/f, S/f)
+    agitation = moving.mean()
+    # Per-intersection motion: pool the motion mask to the grid so a hand
+    # only gates the intersections it actually covers.
+    f = luma_small.shape[0] // gsize
+    zone_motion = moving[:gsize * f, :gsize * f].reshape(
+        gsize, f, gsize, f).mean(axis=(1, 3))            # (g, g)
     new_bg = background.update_background(bg, luma_small, agitation,
                                           cfg.background_ema)
 
@@ -111,14 +126,16 @@ def step_frame(state: MetaState, canonical: jnp.ndarray,
     conf = jnp.where(use_cluster, conf_clus, conf_cont)
 
     # Vote accumulation (decayed — effective window cfg.vote_window), gated
-    # by agitation. Votes are discrete (the reference's cyclic buffer counts
+    # per intersection by local motion (a hand only silences the zones it
+    # covers). Votes are discrete (the reference's cyclic buffer counts
     # readings, it does not weight them): confidence gates whether a reading
     # votes at all, so a hesitant classifier abstains instead of diluting.
     decay = 1.0 - 1.0 / cfg.vote_window
     onehot = jax.nn.one_hot(labels, 3, dtype=jnp.float32)   # (g, g, 3)
     casts = (conf >= cfg.vote_min_conf).astype(jnp.float32)
-    gate = calm.astype(jnp.float32)
-    new_votes = state.votes * decay + onehot * casts[..., None] * gate
+    zone_calm = (zone_motion <= 0.1).astype(jnp.float32)    # (g, g)
+    new_votes = state.votes * decay + onehot * casts[..., None] \
+        * zone_calm[..., None]
 
     # Commit: a label flips the stable reading when its vote mass clears the
     # threshold and dominates the runner-up 2:1.
@@ -130,7 +147,7 @@ def step_frame(state: MetaState, canonical: jnp.ndarray,
 
     out_conf = jnp.clip(top / cfg.vote_window, 0.0, 1.0)
     new_state = MetaState(votes=new_votes, stable=new_stable, bg=new_bg,
-                          trust=new_trust,
+                          prev=luma_small, trust=new_trust,
                           frame_count=state.frame_count + 1)
     return new_state, (new_stable, out_conf, agitation)
 

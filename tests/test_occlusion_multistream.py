@@ -1,0 +1,80 @@
+"""System tests: occluded games end-to-end, and config-5 multi-stream meta."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from camkifu_tpu.core.gamesync import MoveExtractor, score_moves
+from camkifu_tpu.config import cvconf
+from camkifu_tpu.stone import sf_meta
+from camkifu_tpu.utils import synth
+
+
+def test_game_with_hand_occlusions_scores_perfectly():
+    """A hand sweeps over the board between moves; agitation gating + votes
+    must keep the emitted game exact (BASELINE config 3 with disturbance)."""
+    import cv2
+
+    moves = synth.sample_moves(8, seed=6)
+    corners = synth.default_corners((360, 640))
+    frames = []
+    rng = np.random.default_rng(0)
+    for state, _mv in synth.game_states(moves):
+        # Hand pass: 4 frames of a skin-toned blob crossing the board.
+        base, _ = synth.render_frame(state, corners, (360, 640),
+                                     seed=int(rng.integers(1 << 30)))
+        for k in range(4):
+            f = base.copy()
+            cv2.circle(f, (150 + 90 * k, 180), 100, (205, 160, 140), -1)
+            frames.append(f)
+        # Then the stone sits still for the vote window.
+        for k in range(cvconf.vote_window + 3):
+            f, _ = synth.render_frame(state, corners, (360, 640),
+                                      seed=int(rng.integers(1 << 30)))
+            frames.append(f)
+
+    state = sf_meta.init_state()
+    ex = MoveExtractor()
+    B = 16
+    for i in range(0, len(frames), B):
+        chunk = frames[i:i + B]
+        n = len(chunk)
+        while len(chunk) < B:
+            chunk.append(chunk[-1])
+        state, labels, conf, agit = sf_meta.read_batch(
+            state, jnp.asarray(np.stack(chunk)), jnp.asarray(corners))
+        for j in range(n):
+            ex.advance(np.asarray(labels[j]))
+    rep = score_moves(ex.moves, moves)
+    assert rep["agreement"] == 1.0, rep
+
+
+def test_multistream_meta_tracks_independent_games():
+    from jax.sharding import Mesh
+    from camkifu_tpu.parallel.mesh import (multistream_init_states,
+                                           multistream_read_meta)
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("stream",))
+    corners = synth.default_corners((360, 640))
+
+    boards, frame_stacks = [], []
+    for s in range(n):
+        labels = np.zeros((19, 19), np.int8)
+        labels[s, s] = 1
+        labels[18 - s, 18 - s] = 2
+        boards.append(labels)
+        frame_stacks.append(np.stack([
+            synth.render_frame(labels, corners, (360, 640), seed=10 * s + i)[0]
+            for i in range(10)]))
+
+    states = multistream_init_states(n)
+    states, labels_out, conf, agit = multistream_read_meta(
+        mesh, states, jnp.asarray(np.stack(frame_stacks)),
+        jnp.asarray(np.tile(corners, (n, 1, 1))))
+    out = np.asarray(labels_out)
+    assert out.shape == (n, 10, 19, 19)
+    for s in range(n):
+        assert np.array_equal(out[s, -1], boards[s]), f"stream {s}"
+    # States advanced per stream.
+    assert np.asarray(states.frame_count).tolist() == [10] * n
