@@ -201,6 +201,49 @@ def _comb_fit(profile: jnp.ndarray, gsize: int, n_offsets: int = 64,
     return offsets[oi], spacings[si], quality
 
 
+def _snap_teeth(profile: jnp.ndarray, o, s, gsize: int):
+    """Sub-pixel comb polish: snap each tooth to the parabolic peak of the
+    profile within ±s/3, then weighted-least-squares refit (o, s).
+
+    Stone edges sit ±0.47·s off the lines — outside the snap window — so
+    the snap can only lock onto the line (or stone-center) ridge itself.
+    """
+    n = profile.shape[0]
+    n_off = 21
+
+    def interp(pos):
+        pos = jnp.clip(pos, 0.0, n - 1.001)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        f = pos - lo
+        return profile[lo] * (1 - f) + profile[lo + 1] * f
+
+    idx = jnp.arange(gsize, dtype=jnp.float32)
+    teeth = o + s * idx                                    # (g,)
+    offs = jnp.linspace(-1.0, 1.0, n_off) * (s / 3.0)      # (n_off,)
+    win = interp(teeth[:, None] + offs[None, :])           # (g, n_off)
+    best = jnp.argmax(win, axis=1)
+    # Parabolic sub-step around the discrete peak.
+    bm1 = win[jnp.arange(gsize), jnp.clip(best - 1, 0, n_off - 1)]
+    bp1 = win[jnp.arange(gsize), jnp.clip(best + 1, 0, n_off - 1)]
+    b0 = win[jnp.arange(gsize), best]
+    den = bm1 - 2 * b0 + bp1
+    delta = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (bm1 - bp1) / den, 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    step = offs[1] - offs[0]
+    snapped = teeth + offs[best] + delta * step            # (g,)
+    # Weighted LS fit snapped ≈ o' + i·s' (weights = peak strength).
+    w = jnp.maximum(b0, 1e-6)
+    sw = w.sum()
+    mi = (w * idx).sum() / sw
+    mp = (w * snapped).sum() / sw
+    var = (w * (idx - mi) ** 2).sum()
+    s2 = (w * (idx - mi) * (snapped - mp)).sum() / jnp.maximum(var, 1e-9)
+    o2 = mp - s2 * mi
+    # Sanity: keep the comb fit if the refit drifted implausibly.
+    ok = (jnp.abs(s2 - s) < 0.2 * s) & (jnp.abs(o2 - o) < 0.5 * s)
+    return jnp.where(ok, o2, o), jnp.where(ok, s2, s)
+
+
 def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
                  margin: float = 0.08, res: int = REFINE_RES,
                  gap_weight: float = 1.0):
@@ -252,6 +295,8 @@ def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
 
     ox, sx, qx = _comb_fit(col_profile, gsize, gap_weight=gap_weight)
     oy, sy, qy = _comb_fit(row_profile, gsize, gap_weight=gap_weight)
+    ox, sx = _snap_teeth(col_profile, ox, sx, gsize)
+    oy, sy = _snap_teeth(row_profile, oy, sy, gsize)
 
     span = gsize - 1.0
     xs = jnp.array([ox, ox + span * sx])
