@@ -427,3 +427,24 @@ class BoardFinderAuto(BoardFinder):
         for p in self._estimate:
             self.corners.add(p)
         return self.corners.ready()
+
+
+if __name__ == "__main__":          # golden-input probe (SURVEY §4)
+    import sys
+
+    import cv2
+
+    from camkifu_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    img = cv2.imread(sys.argv[1])
+    if img is None:
+        sys.exit(f"cannot read image: {sys.argv[1]}")
+    det, score = detect_corners(jnp.asarray(img[:, :, ::-1].copy()))
+    print("corners (tl,tr,br,bl):", np.asarray(det).round(1).tolist())
+    print("score:", float(score))
+    if len(sys.argv) > 2:           # optional overlay output
+        for x, y in np.asarray(det):
+            cv2.circle(img, (int(x), int(y)), 6, (0, 0, 255), 2)
+        cv2.imwrite(sys.argv[2], img)
+        print("overlay saved:", sys.argv[2])

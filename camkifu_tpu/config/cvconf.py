@@ -125,10 +125,11 @@ def bfinders():
 
 
 def sfinders():
+    from camkifu_tpu.stone.sf_bgsub import SfBgSub
     from camkifu_tpu.stone.sf_clustering import SfClustering
     from camkifu_tpu.stone.sf_contours import SfContours
     from camkifu_tpu.stone.sf_meta import SfMeta
     from camkifu_tpu.stone.sf_neural import SfNeural
     from camkifu_tpu.stone.sf_tuto import SfTuto
 
-    return [SfMeta, SfClustering, SfContours, SfNeural, SfTuto]
+    return [SfMeta, SfClustering, SfContours, SfBgSub, SfNeural, SfTuto]

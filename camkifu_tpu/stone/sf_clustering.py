@@ -103,3 +103,30 @@ class SfClustering(_SF):
 
         return pipeline.read_board_batch(jnp.asarray(frames),
                                          jnp.asarray(corners, jnp.float32))
+
+
+if __name__ == "__main__":          # golden-input probe (SURVEY §4)
+    import sys
+
+    import cv2
+
+    from camkifu_tpu.board import bf_auto
+    from camkifu_tpu.ops.warp import warp_to_canonical
+    from camkifu_tpu.utils import board_to_ascii, jaxcache
+
+    jaxcache.enable()
+    img = cv2.imread(sys.argv[1])
+    if img is None:
+        sys.exit(f"cannot read image: {sys.argv[1]}")
+    frame = jnp.asarray(img[:, :, ::-1].copy())
+    if len(sys.argv) > 2:
+        vals = [float(v) for v in sys.argv[2].split(",")]
+        corners = jnp.asarray(np.array(vals, np.float32).reshape(4, 2))
+    else:
+        corners, score = bf_auto.detect_corners(frame)
+        print("auto-detected corners, score", float(score))
+    canon = warp_to_canonical(frame, corners) / 255.0
+    labels, conf = classify_canonical(canon)
+    print(board_to_ascii(labels))
+    print(f"stones: {int((np.asarray(labels) != 0).sum())}, "
+          f"min conf {float(jnp.min(conf)):.2f}")

@@ -29,6 +29,7 @@ from camkifu_tpu.ops import background
 from camkifu_tpu.ops.color import rgb_to_gray
 from camkifu_tpu.ops.warp import warp_to_canonical
 from camkifu_tpu.stone import sf_clustering, sf_contours
+from camkifu_tpu.stone.votes import vote_update, zone_motion_gate
 
 #: Region-trust EMA rate and the threshold above which a region switches
 #: from contours to clustering (the reference's calibration→search promote).
@@ -81,17 +82,10 @@ def step_frame(state: MetaState, canonical: jnp.ndarray,
     prev = jnp.where(state.prev[0, 0] < 0, luma_small, state.prev)
 
     # Agitation = frame-to-frame motion (the reference's absdiff gate,
-    # SURVEY §3.3). Motion reacts and *clears* instantly — gating on the EMA
-    # background would keep zones locked for seconds after a hand passes
-    # (the imprint leaks out slowly). The background model still feeds the
-    # subtraction/confidence path.
-    moving = jnp.abs(luma_small - prev) > 0.08           # (S/f, S/f)
-    agitation = moving.mean()
-    # Per-intersection motion: pool the motion mask to the grid so a hand
-    # only gates the intersections it actually covers.
-    f = luma_small.shape[0] // gsize
-    zone_motion = moving[:gsize * f, :gsize * f].reshape(
-        gsize, f, gsize, f).mean(axis=(1, 3))            # (g, g)
+    # SURVEY §3.3), pooled per intersection so a hand only gates the zones
+    # it covers, and clearing the moment it leaves. The EMA background still
+    # feeds the subtraction/confidence path.
+    zone_calm, agitation = zone_motion_gate(luma_small, prev, gsize)
     new_bg = background.update_background(bg, luma_small, agitation,
                                           cfg.background_ema)
 
@@ -125,27 +119,11 @@ def step_frame(state: MetaState, canonical: jnp.ndarray,
     labels = jnp.where(use_cluster, lab_clus, lab_cont)
     conf = jnp.where(use_cluster, conf_clus, conf_cont)
 
-    # Vote accumulation (decayed — effective window cfg.vote_window), gated
-    # per intersection by local motion (a hand only silences the zones it
-    # covers). Votes are discrete (the reference's cyclic buffer counts
-    # readings, it does not weight them): confidence gates whether a reading
-    # votes at all, so a hesitant classifier abstains instead of diluting.
-    decay = 1.0 - 1.0 / cfg.vote_window
-    onehot = jax.nn.one_hot(labels, 3, dtype=jnp.float32)   # (g, g, 3)
-    casts = (conf >= cfg.vote_min_conf).astype(jnp.float32)
-    zone_calm = (zone_motion <= 0.1).astype(jnp.float32)    # (g, g)
-    new_votes = state.votes * decay + onehot * casts[..., None] \
-        * zone_calm[..., None]
+    # Shared vote machinery (stone.votes): discrete confidence-gated votes,
+    # per-intersection motion gating, threshold + dominance commit.
+    new_votes, new_stable, out_conf = vote_update(
+        state.votes, state.stable, labels, conf, zone_calm, cfg)
 
-    # Commit: a label flips the stable reading when its vote mass clears the
-    # threshold and dominates the runner-up 2:1.
-    top = jnp.max(new_votes, axis=-1)
-    top_label = jnp.argmax(new_votes, axis=-1).astype(jnp.int8)
-    runner = jnp.sort(new_votes, axis=-1)[..., 1]
-    commit = (top >= cfg.vote_threshold) & (top >= 2.0 * runner)
-    new_stable = jnp.where(commit, top_label, state.stable)
-
-    out_conf = jnp.clip(top / cfg.vote_window, 0.0, 1.0)
     new_state = MetaState(votes=new_votes, stable=new_stable, bg=new_bg,
                           prev=luma_small, trust=new_trust,
                           frame_count=state.frame_count + 1)
