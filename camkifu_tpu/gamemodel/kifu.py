@@ -94,6 +94,36 @@ class Kifu:
         move.number = len(self._move_nodes())
         return move
 
+    def insert(self, move: Move, number: int) -> Move:
+        """Insert a move so that it becomes move ``number`` (1-based) of the
+        main line; later moves shift."""
+        node = sgf.Node()
+        node.set(move.color, move.get_coord("sgf"))
+        count = 0
+        tree = self.game
+        while True:
+            for i, existing in enumerate(tree.nodes):
+                if "B" in existing or "W" in existing:
+                    count += 1
+                    if count == number:
+                        tree.nodes.insert(i, node)
+                        self.modified = True
+                        move.number = number
+                        return move
+            if not tree.variations:
+                break
+            tree = tree.variations[0]
+        return self.append(move)
+
+    def mark(self, move: Move, symbol: str = "TR") -> None:
+        """Mark a move's intersection on its node (SGF markup: TR triangle,
+        SQ square, MA cross, CR circle)."""
+        tree, idx = self._find(move.color, move.get_coord("sgf"))
+        if tree is None:
+            raise KeyError(f"move not found in kifu: {move}")
+        tree.nodes[idx].add(symbol, move.get_coord("sgf"))
+        self.modified = True
+
     def delete(self, move: Move) -> None:
         """Remove the given move (matched by color+position) from the main line.
 
