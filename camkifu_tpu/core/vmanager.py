@@ -146,6 +146,7 @@ class VManager(VManagerBase):
         super().__init__(*args, **kwargs)
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self.last_frame = None      # latest raw frame, for the preview window
 
     def vision_on(self) -> None:
         if self._thread is not None and self._thread.is_alive():
@@ -180,6 +181,7 @@ class VManager(VManagerBase):
             bf._step_once = sf._step_once = False
             frames, done = self.capture.read_batch(self.batch)
             if frames.shape[0]:
+                self.last_frame = frames[-1].copy()   # for the preview window
                 try:
                     bf._doframe(frames)
                     sf._doframe(frames)

@@ -36,6 +36,8 @@ class VUI(UI):
                           command=lambda: self._api("pause", False))
         video.add_command(label="Next frame",
                           command=lambda: self._api("next"))
+        video.add_command(label="Show video window",
+                          command=self._show_video_window)
         video.add_separator()
 
         self._bf_var = tk.StringVar(value=cvconf.bfinders()[0].label)
@@ -64,6 +66,15 @@ class VUI(UI):
                                command=lambda v: self._api("vidpos",
                                                            float(v)))
         self.slider.grid(row=3, column=0, columnspan=6, sticky="we")
+
+    def _show_video_window(self) -> None:
+        from camkifu_tpu.gui.video_window import VideoWindow
+
+        if getattr(self, "_video_window", None) is None \
+                or not self._video_window.winfo_exists():
+            self._video_window = VideoWindow(self.master, self.vmanager)
+        else:
+            self._video_window.deiconify()
 
     def _drain_pipe(self) -> None:
         """Execute queued vision commands on the Tk main thread and refresh
