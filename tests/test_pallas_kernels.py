@@ -56,3 +56,18 @@ def test_hough_kernel_pads_nonmultiple_k():
     acc = hough_accumulate_pallas(pts, wts, 64.0, 16, 128, interpret=True)
     ref = hough_accumulate(pts, wts, 64.0, 16, 128)
     assert np.allclose(np.asarray(acc), np.asarray(ref), atol=1e-4)
+
+
+def test_warp_kernel_matches_xla():
+    from camkifu_tpu.ops.warp import warp_to_canonical
+    from camkifu_tpu.ops.pallas.warp_kernel import warp_to_canonical_pallas
+
+    labels = np.zeros((19, 19), np.int8)
+    labels[3, 3] = 1
+    labels[15, 15] = 2
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280))
+    ref = np.asarray(warp_to_canonical(jnp.asarray(frame),
+                                       jnp.asarray(corners)))
+    ours = np.asarray(warp_to_canonical_pallas(
+        jnp.asarray(frame), jnp.asarray(corners), interpret=True))
+    assert np.abs(ref - ours).max() < 0.05
