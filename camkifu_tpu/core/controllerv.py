@@ -46,6 +46,7 @@ class NavState:
                 rules.confirm()
         self.position = position
         self.controller.rules = rules
+        self.controller._on_nav()
 
     def forward(self) -> None:
         self.goto(self.position + 1)
@@ -131,6 +132,10 @@ class Controller:
         for listener in self.listeners:
             listener(event, *args)
 
+    def _on_nav(self) -> None:
+        """Hook: called after every navigation move (ControllerV flushes
+        deferred vision moves when the cursor returns to the end)."""
+
 
 class ControllerV(Controller):
     """Vision-aware controller: thread-safe piping + finder feedback."""
@@ -138,6 +143,7 @@ class ControllerV(Controller):
     def __init__(self, sgffile: str | None = None,
                  video=None, bounds=(0.0, 1.0),
                  gsize: int = guiconf.gsize):
+        self._deferred: list[Move] = []   # before super(): nav.end() fires _on_nav
         super().__init__(sgffile=sgffile, gsize=gsize)
         self.video = video
         self.bounds = bounds
@@ -145,6 +151,7 @@ class ControllerV(Controller):
         self.stones_finder = None     # set by VManager
         self.board_finder = None
         self.api.update({
+            "append": self.cvappend,     # piped appends are vision-originated
             "bulk": self.bulk_update,
         })
         self._closed = threading.Event()
@@ -186,8 +193,24 @@ class ControllerV(Controller):
     # -- vision-originated mutations ---------------------------------------
 
     def cvappend(self, move: Move) -> list[Move]:
-        """A vision-detected move: through the rules like any other."""
+        """A vision-detected move: through the rules like any other — except
+        while the user is browsing history, when vision must not yank the
+        cursor. Deferred moves queue up and flush (rules-checked, in order)
+        the moment the cursor returns to the end of the game."""
+        if not self.nav.at_end():
+            self._deferred.append(move)
+            self._notify("vision_deferred", move)
+            return []
         return self.append(move)
+
+    def _on_nav(self) -> None:
+        if self.nav.at_end() and self._deferred:
+            pending, self._deferred = self._deferred, []
+            for move in pending:
+                try:
+                    self.append(move)
+                except IllegalMove as exc:
+                    self._notify("error", str(exc))
 
     def bulk_update(self, updates) -> None:
         """Apply a list of (err, exp) corrections from a full-board re-scan

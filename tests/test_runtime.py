@@ -192,3 +192,22 @@ def test_ckmain_headless_on_real_video(tmp_path):
     got = Kifu.load(sgf_path).moves()
     assert [(m.color, m.row, m.col) for m in got] == \
         [(m.color, m.row, m.col) for m in moves]
+
+
+def test_vision_appends_deferred_while_browsing():
+    """Vision must not yank the cursor while the user browses history; its
+    moves queue and flush when the cursor returns to the end."""
+    controller = ControllerVSeq()
+    controller.pipe("append", Move("np", (B, 3, 3)))
+    controller.pipe("append", Move("np", (W, 9, 9)))
+    assert len(controller.kifu) == 2
+
+    controller.pipe("backward")                      # user browses
+    assert controller.nav.position == 1
+    controller.pipe("append", Move("np", (B, 15, 15)))   # vision keeps going
+    assert len(controller.kifu) == 2                 # not applied yet
+    assert controller.nav.position == 1              # cursor untouched
+
+    controller.pipe("end")                           # user returns
+    assert len(controller.kifu) == 3                 # deferred move flushed
+    assert controller.kifu.lastmove() == Move("np", (B, 15, 15))
