@@ -36,7 +36,7 @@ from camkifu_tpu.config import cvconf
 from camkifu_tpu.ops.color import rgb_to_gray, to_float
 from camkifu_tpu.ops.edges import edge_map
 from camkifu_tpu.ops.filters import sobel
-from camkifu_tpu.ops.hough import hough_accumulate, peak_lines, topk_edge_points
+from camkifu_tpu.ops.hough import hough_accumulate, topk_edge_points
 from camkifu_tpu.ops.warp import apply_homography, bilinear_sample, homography_dlt
 
 #: Angular half-window (radians) around a family's dominant θ.

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from camkifu_tpu.config import guiconf
-from camkifu_tpu.gamemodel.move import B, W, INT_TO_COLOR, Move, opposite
+from camkifu_tpu.gamemodel.move import B, INT_TO_COLOR, Move, opposite
 from camkifu_tpu.gamemodel.rules import IllegalMove, RuleUnsafe
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import threading
 
-import numpy as np
+
 
 from camkifu_tpu.config import cvconf
 from camkifu_tpu.core.capture import open_capture

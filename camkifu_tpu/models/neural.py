@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import optax
 
-from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.config import cvconf
 
 NUM_CLASSES = 3   # 0=E, 1=B, 2=W
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from camkifu_tpu.config import cvconf, guiconf
 from camkifu_tpu.ops.color import rgb_to_gray
 from camkifu_tpu.ops.warp import warp_to_canonical
-from camkifu_tpu.ops.zones import corner_indices, disc_mask, extract_zones
+from camkifu_tpu.ops.zones import disc_mask, extract_zones
 from camkifu_tpu.stone.votes import vote_update, zone_motion_gate
 
 EMPTY, BLACK, WHITE = 0, 1, 2

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.config import guiconf
 from camkifu_tpu.gamemodel.move import B, W, Move
 from camkifu_tpu.gamemodel.rules import RuleUnsafe
 
