@@ -120,21 +120,30 @@ def step_frame(state: BgSubState, canonical: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_batch(state: BgSubState, frames: jnp.ndarray, corners: jnp.ndarray,
                gsize: int = guiconf.gsize, zone: int = cvconf.zone_size):
-    """Scan over a frame batch; same contract as sf_meta.read_batch."""
+    """Scan over a frame batch; same contract as sf_meta.read_batch.
+
+    The warp (the expensive stage) runs batched; the scan carries only the
+    background/vote state and does per-frame zone medians against the
+    *current* background — exact sequential semantics at a fraction of the
+    cost of scanning the whole pipeline.
+    """
     with jax.default_matmul_precision("float32"):
         per_frame = corners.ndim == 3
         scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
 
-        def body(carry, inp):
-            if per_frame:
-                frame, cs = inp
-            else:
-                frame, cs = inp, corners
-            canonical = warp_to_canonical(frame, cs, gsize, zone) * scale
+        if per_frame:
+            canon = jax.vmap(
+                lambda f, c: warp_to_canonical(f, c, gsize, zone) * scale)(
+                    frames, corners)
+        else:
+            canon = jax.vmap(
+                lambda f: warp_to_canonical(f, corners, gsize, zone) * scale)(
+                    frames)
+
+        def body(carry, canonical):
             return step_frame(carry, canonical, gsize, zone)
 
-        xs = (frames, corners) if per_frame else frames
-        state, outs = jax.lax.scan(body, state, xs)
+        state, outs = jax.lax.scan(body, state, canon)
         return (state,) + outs
 
 

@@ -133,26 +133,84 @@ def step_frame(state: MetaState, canonical: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
                gsize: int = guiconf.gsize, zone: int = cvconf.zone_size):
-    """Scan the meta state machine over a batch of frames.
+    """The meta state machine over a batch of frames.
 
     frames: (B, H, W, 3) uint8; corners: (4, 2) fixed or (B, 4, 2) per-frame.
     Returns (state, labels (B, g, g) int8, conf (B, g, g), agitation (B,)).
+
+    Structure: warp + both classifiers are stateless per frame, so they run
+    *batched* (vmapped — parallel MXU/VPU work); only the genuinely
+    sequential carry (votes/stable/trust/bg — a few (g, g)-sized updates per
+    frame) goes through lax.scan. Running the classifiers inside the scan
+    serialized the whole pipeline and cost ~10× on the video configs.
     """
     with jax.default_matmul_precision("float32"):
         per_frame = corners.ndim == 3
         scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
 
-        def body(carry, inp):
-            if per_frame:
-                frame, cs = inp
-            else:
-                frame, cs = inp, corners
-            canonical = warp_to_canonical(frame, cs, gsize, zone) * scale
-            return step_frame(carry, canonical, gsize, zone)
+        if per_frame:
+            canon = jax.vmap(
+                lambda f, c: warp_to_canonical(f, c, gsize, zone) * scale)(
+                    frames, corners)
+        else:
+            canon = jax.vmap(
+                lambda f: warp_to_canonical(f, corners, gsize, zone) * scale)(
+                    frames)
 
-        xs = (frames, corners) if per_frame else frames
-        state, (labels, conf, agitation) = jax.lax.scan(body, state, xs)
-        return state, labels, conf, agitation
+        luma_small = jax.vmap(
+            lambda c: background.downsample_luma(rgb_to_gray(c), BG_FACTOR))(
+                canon)                                     # (B, s, s)
+        lab_cont, conf_cont = jax.vmap(
+            lambda c: sf_contours.classify_canonical(c, gsize, zone))(canon)
+        lab_clus, conf_clus = jax.vmap(
+            lambda c: sf_clustering.classify_canonical(c, gsize, zone))(canon)
+
+        # Motion gates: prev of frame i is frame i−1 (state carries the
+        # batch boundary).
+        prev0 = jnp.where(state.prev[0, 0] < 0, luma_small[0], state.prev)
+        prevs = jnp.concatenate([prev0[None], luma_small[:-1]], axis=0)
+        zone_calm, agitation = jax.vmap(
+            lambda a, b: zone_motion_gate(a, b, gsize))(luma_small, prevs)
+
+        region = _region_index(gsize)
+        agree = (lab_cont == lab_clus).astype(jnp.float32)   # (B, g, g)
+        counts = np.bincount(region.reshape(-1), minlength=9).astype(
+            np.float32)
+        region_agree = jax.vmap(lambda a: jax.ops.segment_sum(
+            a.reshape(-1), region.reshape(-1), num_segments=9) / counts)(
+                agree).reshape(-1, 3, 3)
+
+        cfg = cvconf.DEFAULT
+
+        def body(carry, x):
+            votes, stable, bg, trust = carry
+            (lc, cc, lk, ck, calm, agit, ragree, lsm) = x
+            calm_scalar = agit <= cfg.agitation_threshold
+            new_trust = jnp.where(calm_scalar,
+                                  trust * (1 - TRUST_EMA) + ragree * TRUST_EMA,
+                                  trust)
+            trust_per = new_trust.reshape(-1)[region.reshape(-1)] \
+                .reshape(gsize, gsize)
+            use_cluster = (trust_per >= TRUST_PROMOTE) & (ck > cc)
+            labels = jnp.where(use_cluster, lk, lc)
+            conf = jnp.where(use_cluster, ck, cc)
+            new_votes, new_stable, out_conf = vote_update(
+                votes, stable, labels, conf, calm, cfg)
+            new_bg = background.update_background(
+                jnp.where(bg[0, 0] < 0, lsm, bg), lsm, agit,
+                cfg.background_ema)
+            return ((new_votes, new_stable, new_bg, new_trust),
+                    (new_stable, out_conf))
+
+        carry0 = (state.votes, state.stable, state.bg, state.trust)
+        (votes, stable, bg, trust), (labels, conf) = jax.lax.scan(
+            body, carry0,
+            (lab_cont, conf_cont, lab_clus, conf_clus, zone_calm, agitation,
+             region_agree, luma_small))
+        new_state = MetaState(
+            votes=votes, stable=stable, bg=bg, prev=luma_small[-1],
+            trust=trust, frame_count=state.frame_count + frames.shape[0])
+        return new_state, labels, conf, agitation
 
 
 # -- host-side state surgery (human-correction feedback; SURVEY §3.4) --------
