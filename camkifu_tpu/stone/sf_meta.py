@@ -69,67 +69,6 @@ def _region_index(gsize: int) -> np.ndarray:
     return (thirds[:, None] * 3 + thirds[None, :]).astype(np.int32)
 
 
-def step_frame(state: MetaState, canonical: jnp.ndarray,
-               gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
-               cfg: cvconf.VisionConfig = cvconf.DEFAULT):
-    """One frame through the meta state machine.
-
-    canonical: (S, S, 3) float in [0, 1].
-    Returns (new_state, (stable_labels, confidence, agitation)).
-    """
-    luma_small = background.downsample_luma(rgb_to_gray(canonical), BG_FACTOR)
-    bg = jnp.where(state.bg[0, 0] < 0, luma_small, state.bg)  # first-frame init
-    prev = jnp.where(state.prev[0, 0] < 0, luma_small, state.prev)
-
-    # Agitation = frame-to-frame motion (the reference's absdiff gate,
-    # SURVEY §3.3), pooled per intersection so a hand only gates the zones
-    # it covers, and clearing the moment it leaves. The EMA background still
-    # feeds the subtraction/confidence path.
-    zone_calm, agitation = zone_motion_gate(luma_small, prev, gsize)
-    new_bg = background.update_background(bg, luma_small, agitation,
-                                          cfg.background_ema)
-
-    # Both base finders on the full canonical frame.
-    lab_cont, conf_cont = sf_contours.classify_canonical(canonical, gsize, zone)
-    lab_clus, conf_clus = sf_clustering.classify_canonical(canonical, gsize, zone)
-
-    # Per-region agreement → trust EMA (the calibration machinery): regions
-    # where clustering keeps agreeing with contours promote to clustering.
-    region = _region_index(gsize)                      # (g, g) constant
-    agree = (lab_cont == lab_clus).astype(jnp.float32)
-    region_agree = jax.ops.segment_sum(
-        agree.reshape(-1), region.reshape(-1), num_segments=9)
-    region_count = jax.ops.segment_sum(
-        jnp.ones(gsize * gsize, jnp.float32), region.reshape(-1), num_segments=9)
-    region_agree = (region_agree / region_count).reshape(3, 3)
-    # Freeze trust while agitated (no reliable reading to learn from).
-    calm = agitation <= cfg.agitation_threshold
-    new_trust = jnp.where(calm,
-                          state.trust * (1 - TRUST_EMA)
-                          + region_agree * TRUST_EMA,
-                          state.trust)
-
-    # Fusion: clustering becomes *eligible* once its region's trust promotes
-    # (the reference's calibration→search handoff); among eligible readings
-    # the more confident classifier wins per intersection — contours keeps
-    # covering the spots clustering is hesitant about.
-    trust_per_isect = new_trust.reshape(-1)[region.reshape(-1)] \
-        .reshape(gsize, gsize)
-    use_cluster = (trust_per_isect >= TRUST_PROMOTE) & (conf_clus > conf_cont)
-    labels = jnp.where(use_cluster, lab_clus, lab_cont)
-    conf = jnp.where(use_cluster, conf_clus, conf_cont)
-
-    # Shared vote machinery (stone.votes): discrete confidence-gated votes,
-    # per-intersection motion gating, threshold + dominance commit.
-    new_votes, new_stable, out_conf = vote_update(
-        state.votes, state.stable, labels, conf, zone_calm, cfg)
-
-    new_state = MetaState(votes=new_votes, stable=new_stable, bg=new_bg,
-                          prev=luma_small, trust=new_trust,
-                          frame_count=state.frame_count + 1)
-    return new_state, (new_stable, out_conf, agitation)
-
-
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
                gsize: int = guiconf.gsize, zone: int = cvconf.zone_size):
