@@ -55,6 +55,53 @@ def _normalizer(pts: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+def _solve8(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled 8×8 Gauss–Jordan solve with partial pivoting.
+
+    jnp.linalg.solve lowers to LAPACK-style LU with sequential dynamic
+    slicing — hundreds of microseconds per tiny system on TPU, which
+    dominates per-frame homography solves. Eight unrolled elimination steps
+    of pure vector ops cost almost nothing and vmap cleanly.
+    """
+    M = jnp.concatenate([A, b[:, None]], axis=1)        # (8, 9)
+    for k in range(8):
+        col = jnp.abs(M[:, k])
+        mask = jnp.arange(8) >= k
+        p = jnp.argmax(jnp.where(mask, col, -1.0))
+        # Swap rows k and p (gather-free: blend two one-hot selections).
+        rk = M[k]
+        rp = M[p]
+        idx = jnp.arange(8)[:, None]
+        M = jnp.where(idx == k, rp[None, :],
+                      jnp.where(idx == p, rk[None, :], M))
+        pivot = M[k, k]
+        Mk = M[k] / pivot
+        factors = jnp.where(jnp.arange(8) == k, 0.0, M[:, k])
+        M = M - factors[:, None] * Mk[None, :]
+        M = M.at[k].set(Mk)
+    return M[:, 8]
+
+
+def _inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3×3 inverse (adjugate) — avoids LU on TPU."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    return jnp.stack([jnp.stack([A, B, C]),
+                      jnp.stack([D, E, F]),
+                      jnp.stack([G, H, I])]) / det
+
+
 def homography_dlt(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """3×3 homography H with dst ~ H @ src for 4 point pairs (DLT, exact).
 
@@ -76,9 +123,9 @@ def homography_dlt(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     a_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], axis=1)
     A = jnp.concatenate([a_u, a_v], axis=0)          # (8, 8)
     b = jnp.concatenate([u, v], axis=0)              # (8,)
-    h = jnp.linalg.solve(A, b)
+    h = _solve8(A, b)
     Hn = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
-    H = jnp.linalg.inv(t_dst) @ Hn @ t_src
+    H = _inv3(t_dst) @ Hn @ t_src
     return H / H[2, 2]
 
 
