@@ -101,13 +101,16 @@ def main() -> None:
                    fence)
     c4_fps = batch / c4_s
 
-    # -- c5: 8 concurrent 1080p streams on one chip -------------------------
+    # -- c5: 8 concurrent 1080p streams on one chip (the multi-stream
+    # flattening of parallel.mesh._read_all_streams) ------------------------
+    from camkifu_tpu.parallel.mesh import _read_all_streams
+
     streams, per = 8, 8
     f_multi = jax.device_put(jnp.broadcast_to(
         jnp.asarray(frame1080), (streams, per) + frame1080.shape))
     c_multi = jax.device_put(jnp.broadcast_to(c1080, (streams, 4, 2)))
-    multi = jax.jit(jax.vmap(pipeline.read_board_batch))
-    c5_s = _timeit(lambda: multi(f_multi, c_multi)[0], fence)
+    c5_s = _timeit(
+        lambda: _read_all_streams(f_multi, c_multi, 19, 16)[0], fence)
     c5_fps = streams * per / c5_s
 
     # Sanity: the pipeline must still read the board correctly.
