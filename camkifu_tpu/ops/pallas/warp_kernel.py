@@ -1,14 +1,26 @@
-"""Pallas canonical-warp kernel: tiled source slabs + in-VMEM bilinear taps.
+"""Pallas canonical-warp kernel: tiled slab DMA + two-pass line resampling.
 
-The XLA warp gathers ~370 k taps per frame straight from the 6 MB HBM frame
-with no locality control — the dominant cost of the classify pipeline
-(PERF.md). This kernel walks the canonical image in row tiles; for each
-tile the (precomputed, scalar-prefetched) source row window is DMA'd into
-VMEM once, and the four bilinear taps per output pixel hit VMEM instead of
-HBM.
+The XLA warp gathers ~370 k taps per frame from HBM with no locality
+control, and falls off a ~35× cliff when gather indices vary per frame
+(per-frame corners, BASELINE config 4). This kernel walks the canonical
+image in row tiles: the (scalar-prefetched) source row window is DMA'd
+HBM→VMEM once per tile, and sampling happens as two ``take_along_axis``
+passes — the only gather form Mosaic lowers:
+
+1. **vertical**: a homography maps each canonical row to a *line* in the
+   source; along that line y is affine in x (lines map to lines), so each
+   source column is resampled vertically at y(x) = aᵢ + bᵢ·x.
+2. **horizontal**: the vertically-resampled rows are sampled at x(i, j).
+
+This is sampling along the row's source line with linear interpolation —
+it differs from axis-aligned bilinear only by the quadratic sag of the
+bilinear patch within one pixel (≪ 1 intensity level in practice; the
+parity test bounds it).
 
 Geometry contract identical to ops.warp.warp_to_canonical (cv2 integer-
-center convention, corner intersections at cell centers).
+center convention, corner intersections at cell centers). Assumes the board
+is roughly upright in the frame (|bᵢ| bounded) — the same assumption the
+whole detection stack makes.
 """
 
 from __future__ import annotations
@@ -29,50 +41,74 @@ TILE = 38
 
 #: Source rows DMA'd per tile (static; covers the perspective fan-out of a
 #: TILE-row canonical strip for any plausible camera geometry).
-SLAB = 512
+SLAB = 256
 
 
-def _warp_kernel(row_start_ref, hrow_ref, frame_ref, out_ref, slab_ref,
+def _warp_kernel(row_start_ref, hmat_ref, frame_ref, out_ref, slab_ref,
                  sem_ref, *, size, slab, w, h):
     t = pl.program_id(0)
     r0 = row_start_ref[t]
 
-    # DMA the source row window for this tile: HBM → VMEM.
     dma = pltpu.make_async_copy(
         frame_ref.at[pl.ds(r0, slab), :, :], slab_ref, sem_ref)
     dma.start()
 
-    # Canonical coordinates of this tile (cv2 convention: index == coord).
-    vs = jax.lax.broadcasted_iota(jnp.float32, (TILE, size), 0) \
-        + t * TILE
-    us = jax.lax.broadcasted_iota(jnp.float32, (TILE, size), 1)
-    h00, h01, h02 = hrow_ref[0, 0], hrow_ref[0, 1], hrow_ref[0, 2]
-    h10, h11, h12 = hrow_ref[1, 0], hrow_ref[1, 1], hrow_ref[1, 2]
-    h20, h21, h22 = hrow_ref[2, 0], hrow_ref[2, 1], hrow_ref[2, 2]
-    denom = h20 * us + h21 * vs + h22
-    x = (h00 * us + h01 * vs + h02) / denom
-    y = (h10 * us + h11 * vs + h12) / denom
+    h00, h01, h02 = hmat_ref[0, 0], hmat_ref[0, 1], hmat_ref[0, 2]
+    h10, h11, h12 = hmat_ref[1, 0], hmat_ref[1, 1], hmat_ref[1, 2]
+    h20, h21, h22 = hmat_ref[2, 0], hmat_ref[2, 1], hmat_ref[2, 2]
 
-    x = jnp.clip(x, 0.0, w - 1.0)
-    y = jnp.clip(y, 0.0, h - 1.0)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = jnp.clip(y0.astype(jnp.int32) - r0, 0, slab - 1)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-    y1i = jnp.minimum(y0i + 1, slab - 1)
+    def src_xy(us, vs):
+        den = h20 * us + h21 * vs + h22
+        return ((h00 * us + h01 * vs + h02) / den,
+                (h10 * us + h11 * vs + h12) / den)
+
+    # Per output row i (canonical v = t·TILE + i): the source line's affine
+    # y(x) = a_i + b_i·x from its endpoints at j = 0 and j = size-1.
+    vcol = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) \
+        .astype(jnp.float32) + t * TILE                   # (TILE, 1)
+    x_a, y_a = src_xy(jnp.zeros_like(vcol), vcol)
+    x_b, y_b = src_xy(jnp.full_like(vcol, size - 1.0), vcol)
+    b = (y_b - y_a) / (x_b - x_a)                          # (TILE, 1)
+    a = y_a - b * x_a
+
+    # Vertical pass (padded to the slab's row count for take_along_axis).
+    xs = jax.lax.broadcasted_iota(jnp.int32, (slab, w), 1).astype(jnp.float32)
+    a_pad = jnp.pad(a, ((0, slab - TILE), (0, 0)))
+    b_pad = jnp.pad(b, ((0, slab - TILE), (0, 0)))
+    ys = a_pad + b_pad * xs - r0.astype(jnp.float32)       # slab-local
+    ys = jnp.clip(ys, 0.0, slab - 1.001)
+    y0f = jnp.floor(ys)
+    fy = ys - y0f
+    y0 = y0f.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, slab - 1)
+
+    # Horizontal pass indices (padded to slab width).
+    uu = jax.lax.broadcasted_iota(jnp.int32, (TILE, size), 1) \
+        .astype(jnp.float32)
+    vv = jax.lax.broadcasted_iota(jnp.int32, (TILE, size), 0) \
+        .astype(jnp.float32) + t * TILE
+    x_out, _ = src_xy(uu, vv)
+    x_out = jnp.clip(x_out, 0.0, w - 1.001)
+    x0f = jnp.floor(x_out)
+    fx_real = x_out - x0f
+    x0_real = x0f.astype(jnp.int32)
+    pad_w = ((0, 0), (0, w - size))
+    x0 = jnp.pad(x0_real, pad_w)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fx = jnp.pad(fx_real, pad_w)
 
     dma.wait()
     img = slab_ref[:]
-    p00 = img[y0i, x0i].astype(jnp.float32)
-    p01 = img[y0i, x1i].astype(jnp.float32)
-    p10 = img[y1i, x0i].astype(jnp.float32)
-    p11 = img[y1i, x1i].astype(jnp.float32)
-    top = p00 * (1 - fx) + p01 * fx
-    bot = p10 * (1 - fx) + p11 * fx
-    out_ref[:] = top * (1 - fy) + bot * fy
+    for c in range(3):
+        # Mosaic has no direct uint8→f32 convert; hop through int32.
+        plane = img[:, :, c].astype(jnp.int32).astype(jnp.float32)
+        v0 = jnp.take_along_axis(plane, y0, axis=0)
+        v1 = jnp.take_along_axis(plane, y1, axis=0)
+        v = (v0 * (1.0 - fy) + v1 * fy)[:TILE, :]          # (TILE, w)
+        h0 = jnp.take_along_axis(v, x0, axis=1)
+        h1 = jnp.take_along_axis(v, x1, axis=1)
+        out = h0 * (1.0 - fx) + h1 * fx                    # (TILE, w)
+        out_ref[:, :, c] = out[:, :size]
 
 
 @functools.partial(jax.jit, static_argnames=("gsize", "zone", "interpret"))

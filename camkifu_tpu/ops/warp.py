@@ -200,3 +200,72 @@ def warp_batch_fixed(frames: jnp.ndarray, corners: jnp.ndarray,
                      zone: int = cvconf.zone_size) -> jnp.ndarray:
     """(B, H, W, C) frames + one fixed (4, 2) corner set → (B, S, S, C)."""
     return jax.vmap(lambda f: warp_to_canonical(f, corners, gsize, zone))(frames)
+
+
+def _subpixel_shift(img: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Translate (S, S, C) content by −offset (offset = (dx, dy) float).
+
+    Dynamic-slice based (fast on TPU, unlike per-frame gathers): pad by 2,
+    take the four integer-shift slices, blend bilinearly.
+    """
+    s = img.shape[0]
+    pad = jnp.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    dx, dy = offset[0], offset[1]
+    x0 = jnp.clip(jnp.floor(dx), -2, 1)
+    y0 = jnp.clip(jnp.floor(dy), -2, 1)
+    fx = jnp.clip(dx - x0, 0.0, 1.0)
+    fy = jnp.clip(dy - y0, 0.0, 1.0)
+    xi = (2 + x0).astype(jnp.int32)
+    yi = (2 + y0).astype(jnp.int32)
+
+    def sl(ddy, ddx):
+        return jax.lax.dynamic_slice(pad, (yi + ddy, xi + ddx, 0),
+                                     (s, s, img.shape[2]))
+
+    top = sl(0, 0) * (1 - fx) + sl(0, 1) * fx
+    bot = sl(1, 0) * (1 - fx) + sl(1, 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def warp_batch_chunked(frames: jnp.ndarray, corners: jnp.ndarray,
+                       gsize: int = guiconf.gsize,
+                       zone: int = cvconf.zone_size,
+                       chunk: int = 8) -> jnp.ndarray:
+    """Per-frame corners, TPU-fast: share the (median) corners within small
+    frame chunks so the gather keeps batch-shared indices, then correct each
+    frame's residual camera motion with a subpixel *translation*.
+
+    TPU XLA gathers vectorize across the batch only when every batch element
+    uses the *same* indices; per-frame indices fall off a ~35× cliff (373 ms
+    vs 10.5 ms per 64×1080p batch measured). Sharing corners across `chunk`
+    consecutive frames recovers 10×; the within-chunk camera motion is then
+    removed per frame by shifting the canonical image by the mean corner
+    displacement (a dynamic slice — cheap). Residual non-translational error
+    is a small fraction of a pixel for handheld footage.
+    """
+    b = frames.shape[0]
+    pad = (-b) % chunk
+    if pad:
+        frames = jnp.concatenate([frames, frames[-1:].repeat(pad, axis=0)])
+        corners = jnp.concatenate([corners, corners[-1:].repeat(pad, axis=0)])
+    k = frames.shape[0] // chunk
+    fc = frames.reshape((k, chunk) + frames.shape[1:])
+    cb = corners.reshape(k, chunk, 4, 2)
+    cc = jnp.median(cb, axis=1)                          # (k, 4, 2)
+    ideal = canonical_corners(gsize, zone)               # (4, 2)
+
+    def body(_, x):
+        fr, true_corners, co = x
+        canon = jax.vmap(lambda z: warp_to_canonical(z, co, gsize, zone))(fr)
+        # Where each frame's true corners land in the chunk's canonical
+        # view; their mean displacement from the ideal anchors is the
+        # residual camera translation.
+        h_inv = _inv3(homography_dlt(ideal, co))
+        landed = jax.vmap(lambda c: apply_homography(h_inv, c))(true_corners)
+        offsets = (landed - ideal[None]).mean(axis=1)    # (chunk, 2) = (dx,dy)
+        canon = jax.vmap(_subpixel_shift)(canon, offsets)
+        return None, canon
+
+    _, out = jax.lax.scan(body, None, (fc, cb, cc))
+    out = out.reshape((k * chunk,) + out.shape[2:])
+    return out[:b]

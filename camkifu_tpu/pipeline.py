@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
-from camkifu_tpu.ops.warp import warp_batch, warp_batch_fixed
+from camkifu_tpu.ops.warp import warp_batch_chunked, warp_batch_fixed
 from camkifu_tpu.stone import sf_clustering
 
 
@@ -52,6 +52,6 @@ def read_board_batch(frames: jnp.ndarray, corners: jnp.ndarray,
         if corners.ndim == 2:
             canon = warp_batch_fixed(frames, corners, gsize, zone) * scale
         else:
-            canon = warp_batch(frames, corners, gsize, zone) * scale
+            canon = warp_batch_chunked(frames, corners, gsize, zone) * scale
         return jax.vmap(
             lambda c: sf_clustering.classify_canonical(c, gsize, zone))(canon)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from camkifu_tpu.config import cvconf, guiconf
 from camkifu_tpu.ops import background
 from camkifu_tpu.ops.color import rgb_to_gray
-from camkifu_tpu.ops.warp import warp_to_canonical
+from camkifu_tpu.ops.warp import warp_batch_chunked, warp_to_canonical
 from camkifu_tpu.stone import sf_clustering, sf_contours
 from camkifu_tpu.stone.votes import vote_update, zone_motion_gate
 
@@ -88,9 +88,7 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
         scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
 
         if per_frame:
-            canon = jax.vmap(
-                lambda f, c: warp_to_canonical(f, c, gsize, zone) * scale)(
-                    frames, corners)
+            canon = warp_batch_chunked(frames, corners, gsize, zone) * scale
         else:
             canon = jax.vmap(
                 lambda f: warp_to_canonical(f, corners, gsize, zone) * scale)(
