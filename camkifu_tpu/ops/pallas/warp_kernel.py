@@ -21,6 +21,13 @@ Geometry contract identical to ops.warp.warp_to_canonical (cv2 integer-
 center convention, corner intersections at cell centers). Assumes the board
 is roughly upright in the frame (|bᵢ| bounded) — the same assumption the
 whole detection stack makes.
+
+STATUS: correct in interpret mode (tests), but does NOT lower on this
+image's Mosaic — its gather cannot span vregs ("Multiple source vregs
+along gather dimension"), and both passes need 256-row / 1920-column index
+ranges. Kept for future toolchains; the production per-frame-corner path
+uses ops.warp.warp_batch_chunked instead (chunk-shared indices + subpixel
+translation correction).
 """
 
 from __future__ import annotations
