@@ -46,6 +46,36 @@ def corner_indices(zone: int, frac: float = 0.36) -> np.ndarray:
     return np.nonzero(sel.reshape(-1))[0]
 
 
+def zone_stats(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
+               zone: int = cvconf.zone_size) -> dict:
+    """Shared per-intersection statistics consumed by the stone classifiers.
+
+    Computing these once per frame (instead of once per classifier) halves
+    SfMeta's zone work: both SfClustering and SfContours need the zone
+    extraction, the luma planes, and the corner-median backgrounds.
+
+    Keys: luma (g,g,z,z); disc_mean_rgb, bg_rgb (g,g,3); bg_luma,
+    disc_med_luma (g,g).
+    """
+    zones = extract_zones(canonical, gsize, zone)            # (g,g,z,z,C)
+    mask = disc_mask(zone)
+    inv = 1.0 / jnp.maximum(mask.sum(), 1.0)
+    c = zones.shape[-1]
+    flat = zones.reshape(gsize, gsize, zone * zone, c)
+    corner_idx = corner_indices(zone)
+    disc_idx = np.nonzero(np.asarray(mask).reshape(-1) > 0.5)[0]
+    luma = rgb_to_gray(zones)                                # (g,g,z,z)
+    luma_flat = luma.reshape(gsize, gsize, zone * zone)
+    return {
+        "zones": zones,
+        "luma": luma,
+        "disc_mean_rgb": jnp.einsum("ghyxc,yx->ghc", zones, mask) * inv,
+        "bg_rgb": jnp.median(flat[:, :, corner_idx, :], axis=2),
+        "bg_luma": jnp.median(luma_flat[..., corner_idx], axis=-1),
+        "disc_med_luma": jnp.median(luma_flat[..., disc_idx], axis=-1),
+    }
+
+
 def zone_features(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
                   zone: int = cvconf.zone_size) -> jnp.ndarray:
     """Per-intersection feature vector for stone classification.

@@ -44,7 +44,12 @@ def classify_features(feats: jnp.ndarray, iters: int = 8):
     Returns (labels (g, g) int8 ∈ {E, B, W}, confidence (g, g) in [0, 1]).
     """
     g = feats.shape[0]
-    contrast = (feats[..., 0:3] - feats[..., 3:6]).reshape(g * g, 3)
+    return _classify_contrast(
+        (feats[..., 0:3] - feats[..., 3:6]).reshape(g * g, 3), g, iters)
+
+
+def _classify_contrast(contrast: jnp.ndarray, g: int, iters: int = 8):
+    """Core k-means classification on (g·g, 3) per-channel local contrast."""
     init = jnp.array([[c, c, c] for c in INIT_CONTRAST], jnp.float32)
     cents, raw_labels, _ = kmeans(contrast, k=3, iters=iters, init=init)
 
@@ -74,10 +79,19 @@ def classify_features(feats: jnp.ndarray, iters: int = 8):
     return labels.reshape(g, g), conf.reshape(g, g)
 
 
+def classify_stats(stats: dict, iters: int = 8):
+    """Classify from shared zone statistics (ops.zones.zone_stats)."""
+    contrast = stats["disc_mean_rgb"] - stats["bg_rgb"]      # (g, g, 3)
+    g = contrast.shape[0]
+    return _classify_contrast(contrast.reshape(g * g, 3), g, iters)
+
+
 def classify_canonical(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
                        zone: int = cvconf.zone_size):
     """Canonical image (S, S, 3) in [0, 1] → (labels, confidence)."""
-    return classify_features(zone_features(canonical, gsize, zone))
+    from camkifu_tpu.ops.zones import zone_stats
+
+    return classify_stats(zone_stats(canonical, gsize, zone))
 
 
 classify_batch = jax.vmap(classify_canonical)

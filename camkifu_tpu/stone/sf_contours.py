@@ -49,23 +49,28 @@ def _mask_indices(zone: int):
 def classify_canonical(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
                        zone: int = cvconf.zone_size):
     """Canonical image (S, S, 3) in [0, 1] → (labels (g,g) int8, conf (g,g))."""
-    zones = extract_zones(canonical, gsize, zone)          # (g,g,z,z,3)
-    luma = rgb_to_gray(zones)                              # (g,g,z,z)
+    from camkifu_tpu.ops.zones import zone_stats
+
+    return classify_stats(zone_stats(canonical, gsize, zone), zone)
+
+
+def classify_stats(stats: dict, zone: int = cvconf.zone_size):
+    """Classify from shared zone statistics (ops.zones.zone_stats).
+
+    Background = the median of the zone's *corner* pixels — the points
+    farthest from the own stone and from all four neighbors, bare wood at
+    any stone density (ring pixels are contaminated by the stone's blurred
+    edge and neighbor-stone spill; grid lines cross edge midpoints, never
+    corners). Measured on the adversarial sweep this beats
+    3×3-neighborhood ring medians 0 vs 85 misreads.
+    """
+    luma = stats["luma"]                                   # (g,g,z,z)
     disc = disc_mask(zone)                                 # (z,z)
     ring = 1.0 - disc
     ring_n = jnp.maximum(ring.sum(), 1.0)
     disc_n = jnp.maximum(disc.sum(), 1.0)
-
-    # Robust local background: the median of the zone's *corner* pixels —
-    # the points farthest from the own stone and from all four neighbors,
-    # bare wood at any stone density (ring pixels are contaminated by the
-    # stone's blurred edge and neighbor-stone spill; grid lines cross edge
-    # midpoints, never corners). Measured on the adversarial sweep this
-    # beats 3×3-neighborhood ring medians 0 vs 85 misreads.
-    disc_idx, _ring_idx = _mask_indices(zone)
-    flat = luma.reshape(gsize, gsize, zone * zone)
-    bg = jnp.median(flat[..., corner_indices(zone)], axis=-1)   # (g, g)
-    med_diff = jnp.median(flat[..., disc_idx], axis=-1) - bg
+    bg = stats["bg_luma"]                                  # (g, g)
+    med_diff = stats["disc_med_luma"] - bg
 
     diff = luma - bg[..., None, None]
     active = jnp.abs(diff) > PIXEL_CONTRAST                # (g,g,z,z)

@@ -28,6 +28,7 @@ from camkifu_tpu.config import cvconf, guiconf
 from camkifu_tpu.ops import background
 from camkifu_tpu.ops.color import rgb_to_gray
 from camkifu_tpu.ops.warp import warp_batch_chunked, warp_to_canonical
+from camkifu_tpu.ops.zones import zone_stats
 from camkifu_tpu.stone import sf_clustering, sf_contours
 from camkifu_tpu.stone.votes import vote_update, zone_motion_gate
 
@@ -97,10 +98,16 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
         luma_small = jax.vmap(
             lambda c: background.downsample_luma(rgb_to_gray(c), BG_FACTOR))(
                 canon)                                     # (B, s, s)
-        lab_cont, conf_cont = jax.vmap(
-            lambda c: sf_contours.classify_canonical(c, gsize, zone))(canon)
-        lab_clus, conf_clus = jax.vmap(
-            lambda c: sf_clustering.classify_canonical(c, gsize, zone))(canon)
+
+        # One shared zone-statistics pass feeds both classifiers (they need
+        # the same zone extraction, luma planes, and corner-median
+        # backgrounds).
+        def both(c):
+            stats = zone_stats(c, gsize, zone)
+            return (sf_contours.classify_stats(stats, zone),
+                    sf_clustering.classify_stats(stats))
+
+        (lab_cont, conf_cont), (lab_clus, conf_clus) = jax.vmap(both)(canon)
 
         # Motion gates: prev of frame i is frame i−1 (state carries the
         # batch boundary).
