@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
 from camkifu_tpu.ops.kmeans import kmeans
-from camkifu_tpu.ops.zones import zone_features
 
 # Labels follow the gamemodel convention: 0=E, 1=B, 2=W.
 EMPTY, BLACK, WHITE = 0, 1, 2

@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
-from camkifu_tpu.ops.color import rgb_to_gray
-from camkifu_tpu.ops.zones import corner_indices, disc_mask, extract_zones
+from camkifu_tpu.ops.zones import disc_mask
 
 EMPTY, BLACK, WHITE = 0, 1, 2
 
@@ -37,13 +36,6 @@ MIN_DISC_FILL = 0.60
 #: ~2/3 of the ring; a full-zone occluder (hand, shadow blob) activates ~all
 #: of it — that is what this rejects.
 MAX_RING_FILL = 0.85
-
-
-def _mask_indices(zone: int):
-    """Static flat pixel indices of the disc and the ring (outside-disc)."""
-    disc = np.asarray(disc_mask(zone)) > 0.5
-    flat = disc.reshape(-1)
-    return np.nonzero(flat)[0], np.nonzero(~flat)[0]
 
 
 def classify_canonical(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
