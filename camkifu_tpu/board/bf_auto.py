@@ -369,8 +369,14 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
 
 
 def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution):
-    """vmapped detection → (corners (B, 4, 2), scores (B,))."""
-    return jax.vmap(lambda f: detect_corners(f, res))(frames)
+    """Per-frame detection over a batch → (corners (B, 4, 2), scores (B,)).
+
+    lax.map, not vmap: the Pallas edge kernel cannot be batch-vmapped (the
+    batching rule lands the batch on the lane dim), and detection's gathers
+    hit the varying-index cliff under vmap anyway; the sequential map runs
+    each frame on the fast single-frame path.
+    """
+    return jax.lax.map(lambda f: detect_corners(f, res), frames)
 
 
 def detect_batch_stable(frames: jnp.ndarray,

@@ -106,3 +106,31 @@ def test_warp_batch_fixed_corners():
     assert out.shape == (3, cvconf.canonical_size, cvconf.canonical_size, 3)
     # vmap over identical frames must produce identical warps.
     assert np.array_equal(np.asarray(out[0]), np.asarray(out[2]))
+
+
+def test_warp_batch_chunked_matches_exact_warp():
+    """Chunk-shared warp + translation correction vs exact per-frame warp:
+    drifting corners (pure translation) must agree closely; non-multiple
+    batch sizes exercise the padding path."""
+    from camkifu_tpu.ops.warp import warp_batch_chunked
+
+    labels = np.zeros((19, 19), np.int8)
+    labels[9, 9] = 1
+    base = synth.default_corners((360, 640))
+    frames, corner_list = [], []
+    for i in range(11):                      # 11 % 8 != 0 → padding path
+        drift = np.array([2.0 * np.sin(i), 1.5 * np.cos(i)], np.float32)
+        c = base + drift[None, :]
+        f, _ = synth.render_frame(labels, corners=c, frame_hw=(360, 640),
+                                  noise=0, seed=3)
+        frames.append(f)
+        corner_list.append(c)
+    fb = jnp.asarray(np.stack(frames))
+    cb = jnp.asarray(np.stack(corner_list))
+    out = np.asarray(warp_batch_chunked(fb, cb))
+    assert out.shape[0] == 11
+    for i in [0, 5, 10]:
+        exact = np.asarray(warp_to_canonical(fb[i], cb[i]))
+        diff = np.abs(out[i] - exact)
+        # Interior agreement (borders differ by edge-padding of the shift).
+        assert diff[8:-8, 8:-8].mean() < 3.0, (i, diff.mean())
