@@ -368,7 +368,8 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
         return corners.astype(jnp.float32), score
 
 
-def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution):
+def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
+                 gsize: int = 19):
     """Per-frame detection over a batch → (corners (B, 4, 2), scores (B,)).
 
     lax.map, not vmap: the Pallas edge kernel cannot be batch-vmapped (the
@@ -376,15 +377,16 @@ def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution):
     hit the varying-index cliff under vmap anyway; the sequential map runs
     each frame on the fast single-frame path.
     """
-    return jax.lax.map(lambda f: detect_corners(f, res), frames)
+    return jax.lax.map(lambda f: detect_corners(f, res, gsize=gsize), frames)
 
 
 def detect_batch_stable(frames: jnp.ndarray,
-                        res: int = cvconf.bf_resolution) -> jnp.ndarray:
+                        res: int = cvconf.bf_resolution,
+                        gsize: int = 19) -> jnp.ndarray:
     """Fixed-camera estimate: per-frame detection, then the median corner
     positions over the confident frames (the reference's accumulate-until-
     stable, batch-shaped)."""
-    corners, scores = detect_batch(frames, res)
+    corners, scores = detect_batch(frames, res, gsize)
     ok = (scores >= 0.05)[:, None, None]
     w = ok.astype(jnp.float32)
     # Median over confident frames; fall back to plain median if none pass.
@@ -414,16 +416,18 @@ class BoardFinderAuto(BoardFinder):
     def _detect(self, frames) -> bool:
         import jax.numpy as jnp
 
-        det = detect_batch_stable(jnp.asarray(frames))
+        det = detect_batch_stable(jnp.asarray(frames), gsize=self.gsize)
         det = np.asarray(det)
-        scores = np.asarray(detect_batch(jnp.asarray(frames[:1]))[1])
+        scores = np.asarray(
+            detect_batch(jnp.asarray(frames[:1]), gsize=self.gsize)[1])
         if not np.isfinite(det).all() or scores.max() < 0.1:
             return False
         if self._estimate is None:
             self._estimate = det
         else:
             jump = np.abs(det - self._estimate).max()
-            cell = np.linalg.norm(self._estimate[1] - self._estimate[0]) / 18
+            cell = np.linalg.norm(self._estimate[1] - self._estimate[0]) \
+                / (self.gsize - 1)
             if jump > 3 * cell:
                 # Camera bump: restart accumulation from the new detection.
                 self._estimate = det

@@ -68,7 +68,9 @@ class BoardFinder(VidProcessor):
 
     def __init__(self, vmanager):
         super().__init__(vmanager)
-        self.gsize = guiconf.gsize
+        controller = getattr(vmanager, "controller", None)
+        self.gsize = controller.kifu.gsize if controller is not None \
+            else guiconf.gsize
         self.corners = GobanCorners()
         self.mtx: np.ndarray | None = None   # canonical→frame homography
         self._since_detect = 10 ** 9

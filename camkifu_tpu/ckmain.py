@@ -40,6 +40,8 @@ def get_argparser() -> argparse.ArgumentParser:
                     help="frames per device batch")
     ap.add_argument("--nogui", action="store_true",
                     help="headless: process the whole video, save the SGF, exit")
+    ap.add_argument("--gsize", type=int, default=None,
+                    help="board size (default 19; 9 and 13 supported)")
     return ap
 
 
@@ -78,8 +80,9 @@ def main_headless(args, bf_class, sf_class, corners) -> int:
     from camkifu_tpu.core.controllerv import ControllerVSeq
     from camkifu_tpu.core.vmanager import VManagerSeq
 
+    kw = {"gsize": args.gsize} if args.gsize else {}
     controller = ControllerVSeq(sgffile=args.sgf, video=args.video,
-                                bounds=tuple(args.bounds))
+                                bounds=tuple(args.bounds), **kw)
     errors: list[str] = []
     controller.listeners.append(
         lambda ev, *a: errors.append(str(a)) if ev == "error" else None)
@@ -116,8 +119,9 @@ def main_gui(args, bf_class, sf_class, corners) -> int:
 
     root = tkinter.Tk()
     root.title("camkifu-tpu")
+    kw = {"gsize": args.gsize} if args.gsize else {}
     controller = ControllerV(sgffile=args.sgf, video=args.video,
-                             bounds=tuple(args.bounds))
+                             bounds=tuple(args.bounds), **kw)
     vmanager = VManager(controller, video=args.video,
                         bounds=tuple(args.bounds), bf_class=bf_class,
                         sf_class=sf_class, batch=args.batch)

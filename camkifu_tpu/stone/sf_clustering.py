@@ -115,7 +115,8 @@ class SfClustering(_SF):
         from camkifu_tpu import pipeline
 
         return pipeline.read_board_batch(jnp.asarray(frames),
-                                         jnp.asarray(corners, jnp.float32))
+                                         jnp.asarray(corners, jnp.float32),
+                                         gsize=self.gsize)
 
 
 if __name__ == "__main__":          # golden-input probe (SURVEY §4)

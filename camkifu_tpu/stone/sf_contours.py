@@ -100,11 +100,14 @@ from camkifu_tpu.ops.warp import warp_batch_fixed  # noqa: E402
 from camkifu_tpu.stone.stonesfinder import StonesFinder as _SF  # noqa: E402
 
 
-@jax.jit
-def _read_batch_contours(fb, cs):
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("gsize",))
+def _read_batch_contours(fb, cs, gsize=guiconf.gsize):
     with jax.default_matmul_precision("float32"):
-        canon = warp_batch_fixed(to_float(fb), cs)
-        return classify_batch(canon)
+        canon = warp_batch_fixed(to_float(fb), cs, gsize)
+        return jax.vmap(lambda c: classify_canonical(c, gsize))(canon)
 
 
 class SfContours(_SF):
@@ -114,4 +117,5 @@ class SfContours(_SF):
 
     def _find(self, frames, corners):
         return _read_batch_contours(jnp.asarray(frames),
-                                    jnp.asarray(corners, jnp.float32))
+                                    jnp.asarray(corners, jnp.float32),
+                                    gsize=self.gsize)

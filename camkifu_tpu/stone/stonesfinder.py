@@ -64,9 +64,10 @@ class StonesFinder(VidProcessor):
 
     def __init__(self, vmanager):
         super().__init__(vmanager)
-        self.gsize = guiconf.gsize
-        self.grid = PosGrid(self.gsize)
         self.controller = getattr(vmanager, "controller", None)
+        self.gsize = self.controller.kifu.gsize \
+            if self.controller is not None else guiconf.gsize
+        self.grid = PosGrid(self.gsize)
         self.extractor = MoveExtractor(gsize=self.gsize,
                                        on_move=self._emit)
         self._contradict = np.zeros((self.gsize, self.gsize), np.int32)

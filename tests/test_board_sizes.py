@@ -49,3 +49,34 @@ def test_9x9_game_to_moves():
             jnp.asarray(frame[None]), jnp.asarray(corners), gsize=gsize)
         ex.advance(np.asarray(out[0]))
     assert score_moves(ex.moves, moves)["agreement"] == 1.0
+
+
+def test_ckmain_headless_13x13(tmp_path):
+    """Full app on a 13x13 game (--gsize threads through controller,
+    finders, and SGF SZ)."""
+    import cv2
+
+    from camkifu_tpu import ckmain
+
+    gsize = 13
+    moves = synth.sample_moves(4, gsize=gsize, seed=9)
+    corners = synth.default_corners((360, 640))
+    frames = [f for f, _ in synth.render_game(
+        moves, frames_per_move=2, corners=corners, frame_hw=(360, 640),
+        gsize=gsize, empty_leadin=1)]
+    path = str(tmp_path / "g13.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (640, 360))
+    for f in frames:
+        vw.write(f[:, :, ::-1])
+    vw.release()
+
+    sgf_path = str(tmp_path / "g13.sgf")
+    corner_arg = ",".join(str(round(float(v), 1)) for v in corners.reshape(-1))
+    rc = ckmain.main(["-v", path, "--sgf", sgf_path, "--nogui",
+                      "--sf", "clustering", "--corners", corner_arg,
+                      "--gsize", "13", "--batch", "8"])
+    assert rc == 0
+    k = Kifu.load(sgf_path)
+    assert k.gsize == 13
+    assert [(m.color, m.row, m.col) for m in k.moves()] == \
+        [(m.color, m.row, m.col) for m in moves]
