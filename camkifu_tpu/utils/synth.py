@@ -92,11 +92,16 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                  frame_hw: tuple[int, int] = (1080, 1920),
                  noise: float = 3.0, seed: int = 0,
                  stone_jitter: float = 0.0,
-                 light_gradient: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+                 light_gradient: float = 0.0,
+                 blur_sigma: float = 0.0,
+                 shadow: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Render a camera frame of the given board state.
 
     light_gradient: relative brightness falloff corner-to-corner (0.3 =
     one side of the frame 30% darker — uneven room lighting).
+    blur_sigma: defocus blur in pixels (camera out of focus).
+    shadow: darkness of a soft elliptical shadow over part of the board
+    (0.25 = 25% darker inside, feathered edge — a player leaning in).
     Returns (frame uint8 RGB (H, W, 3), corners (4, 2) float32 (x, y)).
     """
     import cv2
@@ -123,6 +128,17 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
     mask = cv2.warpPerspective(np.full(canon.shape[:2], 255, np.uint8), M,
                                (w, h), flags=cv2.INTER_NEAREST)
     frame[mask > 0] = warped[mask > 0]
+    if shadow:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        cx, cy = 0.65 * w, 0.4 * h
+        d = np.sqrt(((xx - cx) / (0.35 * w)) ** 2
+                    + ((yy - cy) / (0.45 * h)) ** 2)
+        dark = 1.0 - shadow * np.clip(1.5 - d, 0.0, 1.0)
+        frame = np.clip(frame.astype(np.float32) * dark[..., None],
+                        0, 255).astype(np.uint8)
+    if blur_sigma:
+        k = int(blur_sigma * 6) | 1
+        frame = cv2.GaussianBlur(frame, (k, k), blur_sigma)
     if light_gradient:
         gx = np.linspace(1.0, 1.0 - light_gradient, w, dtype=np.float32)
         gy = np.linspace(1.0, 1.0 - 0.5 * light_gradient, h,

@@ -60,3 +60,32 @@ def test_board_detection_under_lighting_gradient():
                                         light_gradient=0.35)
     det, score = bf_auto.detect_corners(jnp.asarray(frame))
     assert np.abs(np.asarray(det) - corners).max() < 11.0
+
+
+@pytest.mark.parametrize("blur", [1.0, 2.0])
+def test_classification_under_defocus(blur):
+    labels = board()
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280),
+                                        blur_sigma=blur)
+    out, _ = pipeline.read_board_batch(jnp.asarray(frame[None]),
+                                       jnp.asarray(corners))
+    agreement = (np.asarray(out[0]) == labels).mean()
+    assert agreement >= 0.997, agreement
+
+
+def test_classification_under_soft_shadow():
+    labels = board()
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280),
+                                        shadow=0.25)
+    out, _ = pipeline.read_board_batch(jnp.asarray(frame[None]),
+                                       jnp.asarray(corners))
+    agreement = (np.asarray(out[0]) == labels).mean()
+    assert agreement == 1.0, agreement
+
+
+def test_board_detection_under_defocus_and_shadow():
+    labels = board(60, seed=2)
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280),
+                                        blur_sigma=1.5, shadow=0.2)
+    det, score = bf_auto.detect_corners(jnp.asarray(frame))
+    assert np.abs(np.asarray(det) - corners).max() < 11.0
