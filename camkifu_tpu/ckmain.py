@@ -42,6 +42,8 @@ def get_argparser() -> argparse.ArgumentParser:
                     help="headless: process the whole video, save the SGF, exit")
     ap.add_argument("--gsize", type=int, default=None,
                     help="board size (default 19; 9 and 13 supported)")
+    ap.add_argument("--stats", default=None, metavar="PATH",
+                    help="write structured per-batch stats (JSONL) here")
     return ap
 
 
@@ -87,7 +89,8 @@ def main_headless(args, bf_class, sf_class, corners) -> int:
     controller.listeners.append(
         lambda ev, *a: errors.append(str(a)) if ev == "error" else None)
     vm = VManagerSeq(controller, video=args.video, bounds=tuple(args.bounds),
-                     bf_class=bf_class, sf_class=sf_class, batch=args.batch)
+                     bf_class=bf_class, sf_class=sf_class, batch=args.batch,
+                     stats_path=args.stats)
     vm.instantiate_finders()
     if corners is not None:
         vm.board_finder.set_corners(corners)
@@ -124,7 +127,8 @@ def main_gui(args, bf_class, sf_class, corners) -> int:
                              bounds=tuple(args.bounds), **kw)
     vmanager = VManager(controller, video=args.video,
                         bounds=tuple(args.bounds), bf_class=bf_class,
-                        sf_class=sf_class, batch=args.batch)
+                        sf_class=sf_class, batch=args.batch,
+                        stats_path=args.stats)
     ui = VUI(root, controller, vmanager)
     if corners is not None:
         vmanager.instantiate_finders()

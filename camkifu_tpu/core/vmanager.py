@@ -26,11 +26,14 @@ from camkifu_tpu.core.capture import open_capture
 class VManagerBase:
     def __init__(self, controller, video=0, bounds=(0.0, 1.0),
                  bf_class=None, sf_class=None,
-                 batch: int = cvconf.frame_batch):
+                 batch: int = cvconf.frame_batch,
+                 stats_path: str | None = None):
         self.controller = controller
         self.video = video
         self.bounds = bounds
         self.batch = batch
+        from camkifu_tpu.utils.profiling import BatchStats
+        self.stats = BatchStats(stats_path)
         self.capture = None
         self.board_finder = None
         self.stones_finder = None
@@ -133,6 +136,8 @@ class VManagerSeq(VManagerBase):
                 self.stones_finder._doframe(frames)
                 self.board_finder._count(frames.shape[0])
                 self.stones_finder._count(frames.shape[0])
+                self.stats.record(frames.shape[0],
+                                  **self.stones_finder.metadata)
             batches += 1
             if done:
                 break
@@ -189,6 +194,7 @@ class VManager(VManagerBase):
                     self.error_to_gui(f"{type(exc).__name__}: {exc}")
                 bf._count(frames.shape[0])
                 sf._count(frames.shape[0])
+                self.stats.record(frames.shape[0], **sf.metadata)
             if done:
                 break
         self._stop.set()

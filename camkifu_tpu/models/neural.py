@@ -158,3 +158,49 @@ def load_params(path: str = DEFAULT_CKPT):
     abstract = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), abstract)
     return ckptr.restore(path, abstract)
+
+
+def main(argv=None) -> int:
+    """cktrain — train the neural stone classifier and save its checkpoint.
+
+    Once a checkpoint exists, SfNeural uses it directly and SfMeta picks it
+    up as a third voter (opt-in by training — an untrained net never
+    participates).
+    """
+    import argparse
+
+    from camkifu_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    ap = argparse.ArgumentParser(prog="cktrain")
+    ap.add_argument("--boards", type=int, default=48,
+                    help="synthetic boards to harvest patches from")
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--out", default=DEFAULT_CKPT)
+    ap.add_argument("--sharded", action="store_true",
+                    help="dp+tp training over all local devices")
+    args = ap.parse_args(argv)
+
+    print(f"harvesting patches from {args.boards} boards…")
+    patches, labels = harvest_patches(n_boards=args.boards)
+    print(f"{len(patches)} patches; training…")
+    if args.sharded:
+        from camkifu_tpu.parallel import train as ptrain
+
+        params, acc = ptrain.train_sharded(patches, labels,
+                                           epochs=args.epochs,
+                                           batch=args.batch, log=print)
+        params = jax.device_get(params)
+    else:
+        _, params, acc = train(patches, labels, epochs=args.epochs,
+                               batch=args.batch, log=print)
+    save_params(params, args.out)
+    print(f"accuracy {acc:.4f}; checkpoint saved to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

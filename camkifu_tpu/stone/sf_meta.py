@@ -72,7 +72,8 @@ def _region_index(gsize: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
-               gsize: int = guiconf.gsize, zone: int = cvconf.zone_size):
+               gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
+               neural_params=None):
     """The meta state machine over a batch of frames.
 
     frames: (B, H, W, 3) uint8; corners: (4, 2) fixed or (B, 4, 2) per-frame.
@@ -109,6 +110,29 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
 
         (lab_cont, conf_cont), (lab_clus, conf_clus) = jax.vmap(both)(canon)
 
+        if neural_params is not None:
+            # Third voter (opt-in: only when a trained checkpoint exists).
+            # The CNN competes per intersection by confidence like the
+            # others; its softmax max is discounted slightly (CNNs are
+            # overconfident) so it breaks ties rather than overruling a
+            # decisive classical read.
+            from camkifu_tpu.models import neural as _neural
+            from camkifu_tpu.ops.zones import extract_zones
+
+            b = canon.shape[0]
+            patches = jax.vmap(
+                lambda c: extract_zones(c, gsize, zone))(canon) \
+                .reshape(b * gsize * gsize, zone, zone, 3)
+            logits = _neural.PatchNet().apply(neural_params, patches)
+            probs = jax.nn.softmax(logits, axis=-1)
+            lab_nn = jnp.argmax(probs, -1).astype(jnp.int8) \
+                .reshape(b, gsize, gsize)
+            conf_nn = (0.85 * jnp.max(probs, -1)).astype(jnp.float32) \
+                .reshape(b, gsize, gsize)
+        else:
+            lab_nn = jnp.zeros_like(lab_cont)
+            conf_nn = jnp.full_like(conf_cont, -1.0)
+
         # Motion gates: prev of frame i is frame i−1 (state carries the
         # batch boundary).
         prev0 = jnp.where(state.prev[0, 0] < 0, luma_small[0], state.prev)
@@ -128,16 +152,22 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
 
         def body(carry, x):
             votes, stable, bg, trust = carry
-            (lc, cc, lk, ck, calm, agit, ragree, lsm) = x
+            (lc, cc, lk, ck, ln, cn, calm, agit, ragree, lsm) = x
             calm_scalar = agit <= cfg.agitation_threshold
             new_trust = jnp.where(calm_scalar,
                                   trust * (1 - TRUST_EMA) + ragree * TRUST_EMA,
                                   trust)
             trust_per = new_trust.reshape(-1)[region.reshape(-1)] \
                 .reshape(gsize, gsize)
-            use_cluster = (trust_per >= TRUST_PROMOTE) & (ck > cc)
-            labels = jnp.where(use_cluster, lk, lc)
-            conf = jnp.where(use_cluster, ck, cc)
+            # Eligible readings compete by confidence: contours always,
+            # clustering once its region's trust promotes, the neural net
+            # when a checkpoint was given.
+            ck_eff = jnp.where(trust_per >= TRUST_PROMOTE, ck, -1.0)
+            confs = jnp.stack([cc, ck_eff, cn])            # (3, g, g)
+            labs = jnp.stack([lc, lk, ln])
+            pick = jnp.argmax(confs, axis=0)
+            labels = jnp.take_along_axis(labs, pick[None], axis=0)[0]
+            conf = jnp.take_along_axis(confs, pick[None], axis=0)[0]
             new_votes, new_stable, out_conf = vote_update(
                 votes, stable, labels, conf, calm, cfg)
             new_bg = background.update_background(
@@ -149,8 +179,8 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
         carry0 = (state.votes, state.stable, state.bg, state.trust)
         (votes, stable, bg, trust), (labels, conf) = jax.lax.scan(
             body, carry0,
-            (lab_cont, conf_cont, lab_clus, conf_clus, zone_calm, agitation,
-             region_agree, luma_small))
+            (lab_cont, conf_cont, lab_clus, conf_clus, lab_nn, conf_nn,
+             zone_calm, agitation, region_agree, luma_small))
         new_state = MetaState(
             votes=votes, stable=stable, bg=bg, prev=luma_small[-1],
             trust=trust, frame_count=state.frame_count + frames.shape[0])
@@ -194,6 +224,15 @@ class SfMeta(_SF):
     def __init__(self, vmanager):
         super().__init__(vmanager)
         self.state = init_state(gsize=self.gsize)
+        # Opt-in neural voter: participates only if the user trained a
+        # checkpoint (cktrain); absent checkpoint = classical ensemble only.
+        try:
+            from camkifu_tpu.models import neural
+            self.neural_params = neural.load_params()
+        except Exception:
+            self.neural_params = None
+        if self.neural_params is not None:
+            self.metadata["neural"] = "on"
         # --sgf resume: the loaded game's board is ground truth (SURVEY §5).
         if self.controller is not None:
             board = self.controller.stones()
@@ -206,7 +245,8 @@ class SfMeta(_SF):
 
         self.state, labels, conf, agitation = read_batch(
             self.state, jnp.asarray(frames),
-            jnp.asarray(corners, jnp.float32), gsize=self.gsize)
+            jnp.asarray(corners, jnp.float32), gsize=self.gsize,
+            neural_params=self.neural_params)
         import numpy as _np
         self.metadata["agitation"] = round(float(_np.asarray(agitation).mean()), 4)
         trust = _np.asarray(self.state.trust)

@@ -70,3 +70,34 @@ def test_classify_batch_neural_end_to_end(dataset):
                                       jnp.asarray(corners))
     agreement = (np.asarray(out[0]) == board).mean()
     assert agreement > 0.97, agreement
+
+
+def test_meta_with_neural_voter(dataset, tmp_path):
+    """SfMeta with a trained neural checkpoint as third voter still reads a
+    game exactly (the voter competes by confidence, gated by training)."""
+    import jax as _jax
+    from camkifu_tpu.core.gamesync import MoveExtractor, score_moves
+    from camkifu_tpu.stone import sf_meta
+    from camkifu_tpu.utils import synth
+
+    patches, labels_flat = dataset
+    _, params, acc = neural.train(patches, labels_flat, epochs=4, batch=512)
+    assert acc > 0.97
+
+    moves = synth.sample_moves(6, seed=15)
+    frames = [f for f, _ in synth.render_game(
+        moves, frames_per_move=9, frame_hw=(480, 854), empty_leadin=4)]
+    corners = synth.default_corners((480, 854))
+    state = sf_meta.init_state()
+    ex = MoveExtractor()
+    for i in range(0, len(frames), 16):
+        chunk = frames[i:i + 16]
+        n = len(chunk)
+        while len(chunk) < 16:
+            chunk.append(chunk[-1])
+        state, labels, conf, agit = sf_meta.read_batch(
+            state, jnp.asarray(np.stack(chunk)), jnp.asarray(corners),
+            neural_params=params)
+        for j in range(n):
+            ex.advance(np.asarray(labels[j]))
+    assert score_moves(ex.moves, moves)["agreement"] == 1.0
