@@ -1,0 +1,98 @@
+"""Capture layer: live latest-wins semantics (mock camera), file seek,
+bounds cropping (SURVEY §2.1 capture wrapper / §2.4 fan-out rows)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from camkifu_tpu.core import capture as cap_mod
+from camkifu_tpu.core.capture import (ArrayCapture, FileCapture, LiveCapture,
+                                      open_capture)
+
+
+class FakeCamera:
+    """Stands in for cv2.VideoCapture(index): yields numbered frames."""
+
+    def __init__(self, index):
+        self.index = index
+        self.n = 0
+        self.opened = True
+
+    def isOpened(self):
+        return self.opened
+
+    def read(self):
+        self.n += 1
+        frame = np.full((32, 48, 3), self.n % 251, np.uint8)
+        time.sleep(0.001)
+        return True, frame
+
+    def release(self):
+        self.opened = False
+
+
+def test_live_capture_latest_wins(monkeypatch):
+    import cv2
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCamera)
+    live = LiveCapture(0, ring=8)
+    try:
+        time.sleep(0.1)
+        batch1, done = live.read_batch(4)
+        assert not done and 1 <= batch1.shape[0] <= 4
+        time.sleep(0.1)
+        batch2, _ = live.read_batch(4)
+        # Latest-wins: the second batch's newest frame is strictly newer.
+        assert int(batch2[-1, 0, 0, 0]) > int(batch1[-1, 0, 0, 0])
+        # Ring bound: never more than `ring` frames delivered.
+        time.sleep(0.2)
+        batch3, _ = live.read_batch(100)
+        assert batch3.shape[0] <= 8
+    finally:
+        live.release()
+    assert not live.cap.opened
+
+
+def test_live_capture_bounds_crop(monkeypatch):
+    import cv2
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCamera)
+    live = LiveCapture(0, bounds=(0.25, 0.75))
+    try:
+        time.sleep(0.05)
+        frames, _ = live.read_batch(2)
+        assert frames.shape[1] == 16     # 32 * (0.75 - 0.25)
+    finally:
+        live.release()
+
+
+def test_open_capture_dispatch(monkeypatch, tmp_path):
+    import cv2
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCamera)
+    live = open_capture("0")
+    assert isinstance(live, LiveCapture)
+    live.release()
+    arr = open_capture([np.zeros((8, 8, 3), np.uint8)])
+    assert isinstance(arr, ArrayCapture)
+
+
+def test_file_capture_seek(tmp_path):
+    import cv2
+
+    path = str(tmp_path / "seek.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for i in range(20):
+        vw.write(np.full((48, 64, 3), i * 10, np.uint8))
+    vw.release()
+
+    fc = FileCapture(path)
+    assert fc.frame_size == (48, 64)
+    first, done = fc.read_batch(5)
+    assert first.shape[0] == 5 and not done
+    assert abs(fc.get_position() - 0.25) < 0.01
+    fc.set_position(0.75)
+    tail, done = fc.read_batch(100)
+    assert done and tail.shape[0] == 5       # frames 15..19
+    fc.release()
