@@ -1,0 +1,61 @@
+"""DeviceFeeder — the double-buffered host→HBM frame feeder.
+
+Parity/upgrade: the reference's VManager threads share one synchronized
+CaptureReader (SURVEY §2.4 row "frame fan-out"); the TPU-native equivalent
+named there is this feeder: a decode thread stays ahead of the device by one
+batch, starting the (asynchronous) host→HBM transfer of batch k+1 while the
+pipeline computes on batch k, so transfer latency hides behind compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class DeviceFeeder:
+    """Iterates (device_frames, count, done) batches, decoded + transferred
+    one batch ahead of the consumer."""
+
+    def __init__(self, capture, batch: int, depth: int = 2):
+        self.capture = capture
+        self.batch = batch
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._pump, daemon=True,
+                                        name="device-feeder")
+        self._thread.start()
+
+    def _pump(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        done = False
+        while not done and not self._stop.is_set():
+            frames, done = self.capture.read_batch(self.batch)
+            if frames.shape[0]:
+                # device_put returns immediately; the DMA overlaps with the
+                # consumer's compute on the previous batch. The last host
+                # frame rides along for the GUI preview window.
+                dev = jax.device_put(jnp.asarray(frames))
+                self._q.put((dev, frames.shape[0], done, frames[-1]))
+            elif done:
+                break
+        self._q.put(None)                    # end-of-stream sentinel
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -59,16 +59,13 @@ class MoveExtractor:
         """Consume one stabilized (gsize, gsize) int label reading; emit moves."""
         reading = np.asarray(reading)
         emitted: list[Move] = []
-        # Up to two single-move steps per reading (two-stone catch-up case).
+        # Up to two single-move steps per reading (two-stone catch-up case);
+        # any residual discrepancy is left for future (better) readings.
         for _ in range(2):
             move = self._one_step(reading)
             if move is None:
                 break
             emitted.append(move)
-        if emitted and not np.array_equal(self.state(), reading):
-            # The emitted moves did not fully explain the reading; the
-            # remaining discrepancy is left for future (better) readings.
-            pass
         return emitted
 
     def _one_step(self, reading: np.ndarray) -> Move | None:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import threading
 
-
+import numpy as np
 
 from camkifu_tpu.config import cvconf
 from camkifu_tpu.core.capture import open_capture
@@ -178,26 +178,30 @@ class VManager(VManagerBase):
     stop = vision_off
 
     def _worker(self) -> None:
-        while not self._stop.is_set():
-            bf, sf = self.board_finder, self.stones_finder
-            if bf.paused and not bf._step_once:
-                self._stop.wait(0.02)
-                continue
-            bf._step_once = sf._step_once = False
-            frames, done = self.capture.read_batch(self.batch)
-            if frames.shape[0]:
-                self.last_frame = frames[-1].copy()   # for the preview window
+        from camkifu_tpu.core.feeder import DeviceFeeder
+
+        feeder = DeviceFeeder(self.capture, self.batch)
+        try:
+            for frames, n, done, last_host in feeder:
+                if self._stop.is_set():
+                    break
+                bf, sf = self.board_finder, self.stones_finder
+                while bf.paused and not bf._step_once \
+                        and not self._stop.is_set():
+                    self._stop.wait(0.02)
+                bf._step_once = sf._step_once = False
+                self.last_frame = np.ascontiguousarray(last_host)
                 try:
                     bf._doframe(frames)
                     sf._doframe(frames)
                 except Exception as exc:
                     self.error_to_gui(f"{type(exc).__name__}: {exc}")
-                bf._count(frames.shape[0])
-                sf._count(frames.shape[0])
-                self.stats.record(frames.shape[0], **sf.metadata)
-            if done:
-                break
-        self._stop.set()
+                bf._count(n)
+                sf._count(n)
+                self.stats.record(n, **sf.metadata)
+        finally:
+            feeder.close()
+            self._stop.set()
 
     def is_running(self) -> bool:
         return self._thread is not None and self._thread.is_alive()

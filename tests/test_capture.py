@@ -96,3 +96,28 @@ def test_file_capture_seek(tmp_path):
     tail, done = fc.read_batch(100)
     assert done and tail.shape[0] == 5       # frames 15..19
     fc.release()
+
+
+def test_device_feeder_order_and_counts():
+    from camkifu_tpu.core.feeder import DeviceFeeder
+
+    frames = [np.full((8, 8, 3), i, np.uint8) for i in range(10)]
+    feeder = DeviceFeeder(ArrayCapture(frames), batch=4)
+    got = []
+    for dev, n, done, last_host in feeder:
+        arr = np.asarray(dev)
+        assert arr.shape[0] == n
+        got.extend(arr[:, 0, 0, 0].tolist())
+        assert last_host[0, 0, 0] == got[-1]
+    assert got == list(range(10))
+    assert done
+
+
+def test_device_feeder_close_midstream():
+    from camkifu_tpu.core.feeder import DeviceFeeder
+
+    frames = [np.zeros((8, 8, 3), np.uint8)] * 64
+    feeder = DeviceFeeder(ArrayCapture(frames), batch=4)
+    it = iter(feeder)
+    next(it)
+    feeder.close()     # must not deadlock
