@@ -57,6 +57,18 @@ def main() -> None:
 
     fence = lambda x: np.asarray(jax.tree.leaves(x)[0])
 
+    # Tunnel health: this environment reaches the chip via an RPC tunnel
+    # whose dispatch/transfer rates vary wildly; record them so the numbers
+    # below are interpretable (healthy ≈ low single-digit ms dispatch).
+    tiny = jax.jit(lambda x: x + 1)
+    td = jax.device_put(jnp.ones((8, 128)))
+    fence(tiny(td))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        o = tiny(td)
+    fence(o)
+    dispatch_ms = (time.perf_counter() - t0) / 10 * 1e3
+
     labels = np.zeros((19, 19), np.int8)
     rng = np.random.default_rng(0)
     idx = rng.choice(361, 100, replace=False)
@@ -129,6 +141,7 @@ def main() -> None:
         "c4_handheld_fps": round(c4_fps, 1),
         "c5_streams_fps": round(c5_fps, 1),
         "staging_MBps": round(batch * frame1080.nbytes / 1e6 / stage_s, 1),
+        "tunnel_dispatch_ms": round(dispatch_ms, 2),
         "device": str(jax.devices()[0]),
     }))
 

@@ -84,7 +84,7 @@ class SgfError(Exception):
 # ---------------------------------------------------------------------------
 
 def parse(text: str) -> Collection:
-    parser = _Parser(text)
+    parser = _Parser(text.lstrip("﻿"))   # tolerate a UTF-8 BOM
     collection = Collection()
     parser.skip_ws()
     while not parser.eof() and parser.peek() == "(":

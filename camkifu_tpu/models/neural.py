@@ -175,8 +175,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="cktrain")
     ap.add_argument("--boards", type=int, default=48,
                     help="synthetic boards to harvest patches from")
-    ap.add_argument("--epochs", type=int, default=4)
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="0 = auto (dataset/12, clamped to [256, 2048]) so "
+                         "small harvests still get enough optimizer steps")
     ap.add_argument("--out", default=DEFAULT_CKPT)
     ap.add_argument("--sharded", action="store_true",
                     help="dp+tp training over all local devices")
@@ -184,7 +186,9 @@ def main(argv=None) -> int:
 
     print(f"harvesting patches from {args.boards} boards…")
     patches, labels = harvest_patches(n_boards=args.boards)
-    print(f"{len(patches)} patches; training…")
+    if not args.batch:
+        args.batch = int(np.clip(len(patches) // 12, 256, 2048))
+    print(f"{len(patches)} patches; training (batch {args.batch})…")
     if args.sharded:
         from camkifu_tpu.parallel import train as ptrain
 

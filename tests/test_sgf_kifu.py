@@ -91,3 +91,25 @@ def test_kifu_load_mainline_of_variationful_game(tmp_path):
     path.write_text(SAMPLE)
     k = Kifu.load(str(path))
     assert [m.get_coord("sgf") for m in k.moves()] == ["pd", "dp", "qp", "dd", "oq"]
+
+
+def test_parse_tolerates_bom_crlf_and_lowercase():
+    raw = "﻿(;ff[4]gm[1]SZ[19]\r\n;B[aa]\r\n;W[bb])"
+    col = sgf.parse(raw.lstrip("﻿"))
+    main = col[0].mainline()
+    assert main[0].get("FF") == "4"          # lowercase idents normalized
+    assert [n.get(k) for n in main for k in ("B", "W") if k in n] == \
+        ["aa", "bb"]
+
+
+def test_parse_multi_game_collection():
+    col = sgf.parse("(;FF[4];B[aa]) (;FF[4];B[bb])")
+    assert len(col) == 2
+    assert col[1].nodes[1].get("B") == "bb"
+
+
+def test_kifu_load_strips_bom(tmp_path):
+    path = tmp_path / "bom.sgf"
+    path.write_bytes("﻿(;FF[4]SZ[19];B[cc])".encode("utf-8"))
+    k = Kifu.load(str(path))
+    assert k.moves()[0].get_coord("sgf") == "cc"
