@@ -34,6 +34,14 @@ class MoveExtractor:
       abstention semantics.
     """
 
+    #: Readings an out-of-turn stone is held before being emitted anyway.
+    #: Covers the case where two moves were played during an occlusion (or
+    #: commit at different vote latencies) and the *second* stone stabilizes
+    #: first: emitting it immediately would record the moves in the wrong
+    #: order. Genuine non-alternation (handicap, free placement) still goes
+    #: through after the hold expires.
+    HOLD_READINGS = 12
+
     def __init__(self, gsize: int = guiconf.gsize, kifu=None,
                  on_move=None, strict_alternation: bool = False):
         self.rule = RuleUnsafe(gsize=gsize)
@@ -42,6 +50,8 @@ class MoveExtractor:
         self.strict_alternation = strict_alternation
         self.moves: list[Move] = []
         self.rejected = 0
+        self._hold: dict[tuple[int, int], int] = {}
+        self._resume_next: str | None = None   # alternation seed after resume
 
     # -- queries ---------------------------------------------------------
 
@@ -50,8 +60,13 @@ class MoveExtractor:
 
     def next_color(self) -> str:
         if not self.moves:
-            return B
+            return self._resume_next or B
         return opposite(self.moves[-1].color)
+
+    def set_next_color(self, color: str) -> None:
+        """Seed the alternation tracker (used when resuming from an SGF:
+        the extractor's own move list is empty but the game is mid-flight)."""
+        self._resume_next = color
 
     # -- main entry ------------------------------------------------------
 
@@ -85,15 +100,25 @@ class MoveExtractor:
                 self.rejected += 1
             return None
 
-        candidates = []
-        if len(new_positions) == 1:
-            candidates = [new_positions[0]]
-        else:
-            # Prefer the stone whose color matches alternation.
-            want = self.next_color()
-            prefer = [p for p in new_positions
-                      if INT_TO_COLOR[int(reading[p])] == want]
-            candidates = prefer or new_positions
+        # Prefer stones whose color matches alternation; out-of-turn stones
+        # are *held* for a few readings (see HOLD_READINGS) in case the
+        # missing opposite-color stone is merely committing late.
+        want = self.next_color()
+        prefer = [p for p in new_positions
+                  if INT_TO_COLOR[int(reading[p])] == want]
+        offturn = [p for p in new_positions if p not in prefer]
+        held = []
+        for p in offturn:
+            key = (int(p[0]), int(p[1]))
+            self._hold[key] = self._hold.get(key, 0) + 1
+            if self._hold[key] <= self.HOLD_READINGS:
+                held.append(p)
+        candidates = prefer + [p for p in offturn if p not in held]
+        # Holds for positions no longer read as new stones are stale.
+        live = {(int(a), int(b)) for a, b in new_positions}
+        self._hold = {k: v for k, v in self._hold.items() if k in live}
+        if not candidates:
+            return None
 
         for r, c in candidates:
             color = INT_TO_COLOR[int(reading[r, c])]

@@ -140,9 +140,15 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
     from camkifu_tpu.utils import synth
 
     if video_spec.startswith("synth:"):
+        # synth:N[:seed][:hard] — rendered game with known ground truth;
+        # 'hard' adds stone jitter, a 30% lighting gradient, defocus blur,
+        # and a soft shadow (the adversarial eval for the ≥99% target).
         parts = video_spec.split(":")
         n_moves = int(parts[1])
-        seed = int(parts[2]) if len(parts) > 2 else 7
+        seed = int(parts[2]) if len(parts) > 2 and parts[2] != "hard" else 7
+        hard = "hard" in parts[2:]
+        hard_kw = dict(stone_jitter=0.07, light_gradient=0.3,
+                       blur_sigma=1.2, shadow=0.18) if hard else {}
         moves = synth.sample_moves(n_moves, seed=seed)
         ref_moves = moves
         gt_corners = synth.default_corners((720, 1280))
@@ -152,7 +158,7 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
         fpm = cvconf.vote_window + 3 if use_meta else 3
         frames_iter = (f for f, _ in synth.render_game(
             moves, frames_per_move=fpm, frame_hw=(720, 1280), seed=seed,
-            empty_leadin=6))
+            empty_leadin=6, **hard_kw))
         if corners is None and ref_sgf != "auto":
             corners = gt_corners
     else:

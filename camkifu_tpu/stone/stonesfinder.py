@@ -92,6 +92,8 @@ class StonesFinder(VidProcessor):
         grid[labels == 2] = "W"
         self.extractor.rule.stones = grid
         self.extractor.rule.discard()
+        if not self.extractor.moves:
+            self.extractor.set_next_color(self.controller.next_color())
 
     # -- the vision→model channel -----------------------------------------
 

@@ -24,7 +24,8 @@ TABLE = (70, 75, 60)         # background behind the board
 
 def render_canonical(labels: np.ndarray, zone: int = 24,
                      rng: np.random.Generator | None = None,
-                     stone_jitter: float = 0.0) -> np.ndarray:
+                     stone_jitter: float = 0.0,
+                     jitter_key: int = 0) -> np.ndarray:
     """Draw a top-down goban: labels (g, g) int (0=E, 1=B, 2=W) → RGB uint8.
 
     The image side is g*zone with intersection (r, c) at ((c+.5)z, (r+.5)z),
@@ -60,7 +61,11 @@ def render_canonical(labels: np.ndarray, zone: int = 24,
             color = BLACK_STONE if labels[r, c] == 1 else WHITE_STONE
             jx = jy = 0.0
             if stone_jitter:
-                jx, jy = rng.uniform(-stone_jitter, stone_jitter, 2) * zone
+                # Deterministic per intersection: a stone keeps its placement
+                # error for the whole game, regardless of when neighbors
+                # arrive.
+                srng = np.random.default_rng((jitter_key, r, c))
+                jx, jy = srng.uniform(-stone_jitter, stone_jitter, 2) * zone
             center = (int((c + .5) * zone + jx), int((r + .5) * zone + jy))
             cv2.circle(img, center, radius, color, -1, cv2.LINE_AA)
             # Specular highlight / shading for realism.
@@ -94,7 +99,8 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                  stone_jitter: float = 0.0,
                  light_gradient: float = 0.0,
                  blur_sigma: float = 0.0,
-                 shadow: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+                 shadow: float = 0.0,
+                 jitter_seed: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Render a camera frame of the given board state.
 
     light_gradient: relative brightness falloff corner-to-corner (0.3 =
@@ -109,8 +115,12 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
     rng = np.random.default_rng(seed)
     g = labels.shape[0]
     zone = 24
+    # Stone placement jitter must be stable across frames of the same game
+    # (stones sit still once played); camera noise varies per frame.
     canon = render_canonical(labels, zone=zone, rng=rng,
-                             stone_jitter=stone_jitter)
+                             stone_jitter=stone_jitter,
+                             jitter_key=jitter_seed if jitter_seed is not None
+                             else seed)
     h, w = frame_hw
     corners = default_corners(frame_hw) if corners is None else \
         np.asarray(corners, np.float32)
@@ -167,19 +177,23 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
                 corners: np.ndarray | None = None,
                 frame_hw: tuple[int, int] = (720, 1280),
                 gsize: int = guiconf.gsize, seed: int = 0,
-                empty_leadin: int = 2):
+                empty_leadin: int = 2, **frame_kwargs):
     """Yield (frame, state_labels) for a whole game: ``empty_leadin`` frames of
-    the empty board, then ``frames_per_move`` frames after each move."""
+    the empty board, then ``frames_per_move`` frames after each move. Extra
+    kwargs (stone_jitter, light_gradient, blur_sigma, shadow) pass through to
+    render_frame."""
     empty = np.zeros((gsize, gsize), np.int8)
     corners = default_corners(frame_hw) if corners is None else corners
     i = 0
     for _ in range(empty_leadin):
-        frame, _ = render_frame(empty, corners, frame_hw, seed=seed + i)
+        frame, _ = render_frame(empty, corners, frame_hw, seed=seed + i,
+                                jitter_seed=seed, **frame_kwargs)
         i += 1
         yield frame, empty
     for state, _move in game_states(moves, gsize):
         for _ in range(frames_per_move):
-            frame, _ = render_frame(state, corners, frame_hw, seed=seed + i)
+            frame, _ = render_frame(state, corners, frame_hw, seed=seed + i,
+                                    jitter_seed=seed, **frame_kwargs)
             i += 1
             yield frame, state
 

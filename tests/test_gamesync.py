@@ -62,11 +62,40 @@ def test_unexplained_disappearance_rejected():
     ex = MoveExtractor()
     ex.advance(grid((B, 3, 3)))
     ex.advance(grid((B, 3, 3), (W, 9, 9)))
-    # B(3,3) vanishes while W(4,4) appears — no capture explains that.
-    out = ex.advance(grid((W, 9, 9), (W, 4, 4)))
-    assert out == []
+    # B(3,3) vanishes while W(4,4) appears — no capture explains that. The
+    # out-of-turn W is first *held* (it might be a late-committing pair);
+    # after the hold expires the unexplained disappearance is rejected.
+    bad = grid((W, 9, 9), (W, 4, 4))
+    for _ in range(MoveExtractor.HOLD_READINGS + 1):
+        assert ex.advance(bad) == []
     assert ex.rejected >= 1
     assert len(ex.moves) == 2
+
+
+def test_out_of_order_commits_reordered_by_hold():
+    """Two moves commit in reverse order (the second stabilized first); the
+    hold lets the true order come out."""
+    ex = MoveExtractor()
+    ex.advance(grid((B, 3, 3)))
+    # W(5,5) then B(7,7) were played, but B's stone commits first… no wait:
+    # next is W, and a B stone appears first — out of turn, held.
+    assert ex.advance(grid((B, 3, 3), (B, 7, 7))) == []
+    # …two readings later the W stone commits too.
+    out = ex.advance(grid((B, 3, 3), (B, 7, 7), (W, 5, 5)))
+    assert [(m.color, m.row, m.col) for m in ex.moves] == \
+        [("B", 3, 3), ("W", 5, 5), ("B", 7, 7)]
+
+
+def test_hold_expires_for_genuine_nonalternation():
+    """Free placement / handicap: a second same-color move really happened;
+    it must still be recorded once the hold expires."""
+    ex = MoveExtractor()
+    ex.advance(grid((B, 3, 3)))
+    two_b = grid((B, 3, 3), (B, 15, 15))
+    out = []
+    for _ in range(MoveExtractor.HOLD_READINGS + 1):
+        out += ex.advance(two_b)
+    assert out == [Move("np", (B, 15, 15))]
 
 
 def test_color_flip_rejected():
