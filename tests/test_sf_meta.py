@@ -121,3 +121,38 @@ def test_set_stable_resume():
     board[0, 0] = 2
     state = sf_meta.set_stable(sf_meta.init_state(), board)
     assert np.asarray(state.stable)[0, 0] == 2
+
+
+def test_capture_heavy_game_through_votes():
+    """A scripted game with two captures (single stone + two-stone group)
+    through the full SfMeta vote pipeline."""
+    from camkifu_tpu.core.gamesync import MoveExtractor, score_moves
+    from camkifu_tpu.gamemodel.move import Move
+
+    seq = [  # B captures W(0,0); later W captures B group (5,5),(5,6)
+        (B, 0, 1), (W, 0, 0), (B, 5, 5), (W, 4, 5), (B, 5, 6), (W, 4, 6),
+        (B, 1, 0),            # captures W(0,0)
+        (W, 6, 5), (B, 9, 9), (W, 6, 6), (B, 12, 12), (W, 5, 4),
+        (B, 15, 15), (W, 5, 7),   # captures B(5,5),B(5,6)
+    ]
+    moves = [Move("np", m) for m in seq]
+    frames = [f for f, _ in synth.render_game(
+        moves, frames_per_move=cvconf.vote_window + 3, frame_hw=(360, 640),
+        empty_leadin=4)]
+    corners = synth.default_corners((360, 640))
+    state = sf_meta.init_state()
+    ex = MoveExtractor()
+    for i in range(0, len(frames), 16):
+        chunk = frames[i:i + 16]
+        n = len(chunk)
+        while len(chunk) < 16:
+            chunk.append(chunk[-1])
+        state, labels, conf, agit = sf_meta.read_batch(
+            state, jnp.asarray(np.stack(chunk)), jnp.asarray(corners))
+        for j in range(n):
+            ex.advance(np.asarray(labels[j]))
+    rep = score_moves(ex.moves, moves)
+    assert rep["agreement"] == 1.0, rep
+    # Captures applied: W(0,0) and the B pair are gone.
+    assert ex.state()[0, 0] == 0
+    assert ex.state()[5, 5] == 0 and ex.state()[5, 6] == 0
