@@ -6,7 +6,7 @@ board detect once + per-frame classify). The other four BASELINE configs are
 reported as sub-metrics in the same line:
 
   c1_still_ms        single 1080p still: detect once + classify (latency)
-  c2_fps             batch-64 1080p classify throughput  ← headline
+  c2_fps             batch-128 1080p classify throughput  ← headline
   c3_video_fps       720p sequential frames through the SfMeta vote scan
   c4_handheld_fps    1080p with per-frame corners (re-detection path)
   c5_streams_fps     8 concurrent 1080p streams batched on one chip
@@ -79,7 +79,7 @@ def main() -> None:
     frame720, corners720 = synth.render_frame(labels, frame_hw=(720, 1280))
 
     t0 = time.perf_counter()
-    batch = 64
+    batch = 128
     f1080_b = jax.device_put(jnp.broadcast_to(jnp.asarray(frame1080),
                                               (batch,) + frame1080.shape))
     fence(f1080_b)
@@ -117,7 +117,7 @@ def main() -> None:
     # flattening of parallel.mesh._read_all_streams) ------------------------
     from camkifu_tpu.parallel.mesh import _read_all_streams
 
-    streams, per = 8, 8
+    streams, per = 8, 16
     f_multi = jax.device_put(jnp.broadcast_to(
         jnp.asarray(frame1080), (streams, per) + frame1080.shape))
     c_multi = jax.device_put(jnp.broadcast_to(c1080, (streams, 4, 2)))

@@ -203,28 +203,26 @@ def warp_batch_fixed(frames: jnp.ndarray, corners: jnp.ndarray,
 
 
 def _subpixel_shift(img: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
-    """Translate (S, S, C) content by −offset (offset = (dx, dy) float).
+    """Translate (S, S, C) content by −offset (offset = (dx, dy) float,
+    clamped to ±2 px).
 
-    Dynamic-slice based (fast on TPU, unlike per-frame gathers): pad by 2,
-    take the four integer-shift slices, blend bilinearly.
+    Implemented as a blend of the 16 *static* integer shifts with per-frame
+    bilinear hat weights (at most 4 are nonzero). Static slices vectorize
+    across a vmapped batch; per-frame `dynamic_slice` starts would lower to
+    a batched gather — the same ~35× TPU cliff the chunked warp exists to
+    avoid.
     """
     s = img.shape[0]
     pad = jnp.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge")
-    dx, dy = offset[0], offset[1]
-    x0 = jnp.clip(jnp.floor(dx), -2, 1)
-    y0 = jnp.clip(jnp.floor(dy), -2, 1)
-    fx = jnp.clip(dx - x0, 0.0, 1.0)
-    fy = jnp.clip(dy - y0, 0.0, 1.0)
-    xi = (2 + x0).astype(jnp.int32)
-    yi = (2 + y0).astype(jnp.int32)
-
-    def sl(ddy, ddx):
-        return jax.lax.dynamic_slice(pad, (yi + ddy, xi + ddx, 0),
-                                     (s, s, img.shape[2]))
-
-    top = sl(0, 0) * (1 - fx) + sl(0, 1) * fx
-    bot = sl(1, 0) * (1 - fx) + sl(1, 1) * fx
-    return top * (1 - fy) + bot * fy
+    dx = jnp.clip(offset[0], -2.0, 1.999)
+    dy = jnp.clip(offset[1], -2.0, 1.999)
+    out = jnp.zeros_like(img)
+    for iy in range(4):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs((2.0 + dy) - iy))
+        for ix in range(4):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs((2.0 + dx) - ix))
+            out = out + (wy * wx) * pad[iy:iy + s, ix:ix + s, :]
+    return out
 
 
 def warp_batch_chunked(frames: jnp.ndarray, corners: jnp.ndarray,
