@@ -80,3 +80,15 @@ def test_ckmain_headless_13x13(tmp_path):
     assert k.gsize == 13
     assert [(m.color, m.row, m.col) for m in k.moves()] == \
         [(m.color, m.row, m.col) for m in moves]
+
+
+@pytest.mark.parametrize("gsize", [9, 13])
+def test_auto_detection_other_sizes(gsize):
+    from camkifu_tpu.board import bf_auto
+
+    labels = np.zeros((gsize, gsize), np.int8)
+    labels[1, 1] = 1
+    labels[gsize - 2, gsize - 2] = 2
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280))
+    det, score = bf_auto.detect_corners(jnp.asarray(frame), gsize=gsize)
+    assert np.abs(np.asarray(det) - corners).max() < 14.0
