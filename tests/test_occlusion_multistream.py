@@ -78,3 +78,43 @@ def test_multistream_meta_tracks_independent_games():
         assert np.array_equal(out[s, -1], boards[s]), f"stream {s}"
     # States advanced per stream.
     assert np.asarray(states.frame_count).tolist() == [10] * n
+
+
+def test_handheld_game_end_to_end():
+    """Config 4 as a full game: camera drifts every frame; per-frame corners
+    go through the chunk-shared warp + subpixel correction + votes."""
+    moves = synth.sample_moves(8, seed=41)
+    base = synth.default_corners((360, 640))
+    rng = np.random.default_rng(3)
+    frames, corner_list = [], []
+    t = 0
+    for state, _mv in synth.game_states(moves):
+        for _ in range(cvconf.vote_window + 3):
+            drift = np.array([4.0 * np.sin(t / 7), 3.0 * np.cos(t / 9)],
+                             np.float32)
+            c = (base + drift[None, :]
+                 + rng.normal(0, 0.4, (4, 2)).astype(np.float32))
+            f, _ = synth.render_frame(state, corners=c, frame_hw=(360, 640),
+                                      seed=t)
+            frames.append(f)
+            corner_list.append(c)
+            t += 1
+
+    from camkifu_tpu.core.gamesync import MoveExtractor, score_moves
+
+    state = sf_meta.init_state()
+    ex = MoveExtractor()
+    B = 16
+    for i in range(0, len(frames), B):
+        fc = frames[i:i + B]
+        cc = corner_list[i:i + B]
+        n = len(fc)
+        while len(fc) < B:
+            fc.append(fc[-1])
+            cc.append(cc[-1])
+        state, labels, conf, agit = sf_meta.read_batch(
+            state, jnp.asarray(np.stack(fc)), jnp.asarray(np.stack(cc)))
+        for j in range(n):
+            ex.advance(np.asarray(labels[j]))
+    rep = score_moves(ex.moves, moves)
+    assert rep["agreement"] == 1.0, rep
