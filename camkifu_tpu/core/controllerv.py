@@ -166,7 +166,12 @@ class ControllerV(Controller):
         """
         if self._closed.is_set():
             return
-        self.queue.put((instruction, args))
+        try:
+            self.queue.put((instruction, args), timeout=1.0)
+        except queue.Full:
+            # GUI thread stalled: dropping beats deadlocking the vision
+            # worker; persistent readings re-suggest dropped moves.
+            self._notify("error", f"command queue full, dropped {instruction}")
 
     def process_pipe(self, block: bool = False, timeout: float = 0.1) -> int:
         """Drain and execute queued commands; returns number executed."""
@@ -189,6 +194,8 @@ class ControllerV(Controller):
             fn(*args)
         except IllegalMove as exc:
             self._notify("error", str(exc))
+        except Exception as exc:   # a bad command must not kill the executor
+            self._notify("error", f"{instruction}: {type(exc).__name__}: {exc}")
 
     # -- vision-originated mutations ---------------------------------------
 

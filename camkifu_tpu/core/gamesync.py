@@ -73,6 +73,9 @@ class MoveExtractor:
     def advance(self, reading: np.ndarray) -> list[Move]:
         """Consume one stabilized (gsize, gsize) int label reading; emit moves."""
         reading = np.asarray(reading)
+        # Holds for positions no longer reading as stones are stale.
+        self._hold = {k: v for k, v in self._hold.items()
+                      if reading[k[0], k[1]] != 0}
         emitted: list[Move] = []
         # Up to two single-move steps per reading (two-stone catch-up case);
         # any residual discrepancy is left for future (better) readings.
