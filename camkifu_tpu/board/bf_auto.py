@@ -382,10 +382,15 @@ def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
 
 def detect_batch_stable(frames: jnp.ndarray,
                         res: int = cvconf.bf_resolution,
-                        gsize: int = 19) -> jnp.ndarray:
+                        gsize: int = 19,
+                        max_frames: int = 8) -> jnp.ndarray:
     """Fixed-camera estimate: per-frame detection, then the median corner
     positions over the confident frames (the reference's accumulate-until-
-    stable, batch-shaped)."""
+    stable, batch-shaped). Detection costs ~67 ms/frame, so at most
+    ``max_frames`` evenly-spaced frames of the batch are detected."""
+    b = frames.shape[0]
+    if b > max_frames:
+        frames = frames[::max(1, b // max_frames)][:max_frames]
     corners, scores = detect_batch(frames, res, gsize)
     ok = (scores >= 0.05)[:, None, None]
     w = ok.astype(jnp.float32)
@@ -416,10 +421,14 @@ class BoardFinderAuto(BoardFinder):
     def _detect(self, frames) -> bool:
         import jax.numpy as jnp
 
-        det = detect_batch_stable(jnp.asarray(frames), gsize=self.gsize)
-        det = np.asarray(det)
-        scores = np.asarray(
-            detect_batch(jnp.asarray(frames[:1]), gsize=self.gsize)[1])
+        # Detection costs ~67 ms/frame — sample up to 4 frames of the batch
+        # for the median rather than detecting on all of them.
+        b = frames.shape[0]
+        step = max(1, b // 4)
+        sample = jnp.asarray(frames[::step][:4])
+        corners_all, scores = detect_batch(sample, gsize=self.gsize)
+        det = np.asarray(jnp.median(corners_all, axis=0))
+        scores = np.asarray(scores)
         if not np.isfinite(det).all() or scores.max() < 0.1:
             return False
         if self._estimate is None:
