@@ -59,3 +59,34 @@ class DeviceFeeder:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+
+
+def prefetch_to_device(batches, depth: int = 2):
+    """Wrap an iterator of (numpy_frames, count) batches: device_put runs one
+    batch ahead on a worker thread so the transfer overlaps the consumer's
+    compute. Yields (device_frames, count)."""
+    import jax
+    import jax.numpy as jnp
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def pump():
+        try:
+            for frames, n in batches:
+                if stop.is_set():
+                    return
+                q.put((jax.device_put(jnp.asarray(frames)), n))
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=pump, daemon=True, name="prefetch-to-device")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()

@@ -106,8 +106,9 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
     t0 = time.perf_counter()
     state = None
     corners_dev = None if corners is None else jnp.asarray(corners, jnp.float32)
-    for frames, n in batched(frames_iter, batch):
-        fb = jnp.asarray(frames)
+    from camkifu_tpu.core.feeder import prefetch_to_device
+
+    for fb, n in prefetch_to_device(batched(frames_iter, batch)):
         if corners is None and corners_dev is None:
             # Fixed-camera automatic board detection: locate once on the
             # first batch (median over frames), as BoardFinderAuto commits a
