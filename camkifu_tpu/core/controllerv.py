@@ -40,6 +40,11 @@ class NavState:
         moves = self.controller.kifu.moves()
         position = max(0, min(len(moves), position))
         rules = Rule(gsize=self.controller.kifu.gsize)
+        # Setup stones (handicap AB/AW) precede move 1 and are always on.
+        for stone in self.controller.kifu.setup_stones():
+            if rules[stone.row, stone.col] == E:
+                rules.put(stone)
+                rules.confirm()
         for move in moves[:position]:
             if not move.is_pass:
                 rules.put(move)

@@ -56,6 +56,21 @@ class Kifu:
     def _move_nodes(self) -> list[sgf.Node]:
         return [n for n in self.game.mainline() if "B" in n or "W" in n]
 
+    def setup_stones(self) -> list[Move]:
+        """Setup placements from AB/AW properties (handicap stones, problem
+        positions) anywhere on the main line, in document order. AE-cleared
+        points are dropped."""
+        out: list[Move] = []
+        for node in self.game.mainline():
+            for prop, color in (("AB", B), ("AW", W)):
+                for coord in node.properties.get(prop, []):
+                    out.append(Move("sgf", (color, coord), gsize=self.gsize))
+            for coord in node.properties.get("AE", []):
+                cleared = Move("sgf", (B, coord), gsize=self.gsize)
+                out = [m for m in out
+                       if (m.row, m.col) != (cleared.row, cleared.col)]
+        return out
+
     def moves(self) -> list[Move]:
         """Main-line moves in order, numbered from 1."""
         out = []

@@ -72,3 +72,18 @@ def test_sgf_resume_full_stack(tmp_path):
 
     # And the file round-trips.
     assert len(Kifu.load(sgf_path)) == 6
+
+
+def test_handicap_setup_stones_in_board_state(tmp_path):
+    """AB/AW handicap stones count as board state on resume (real-world SGF
+    compatibility); AE clears them."""
+    path = tmp_path / "handicap.sgf"
+    path.write_text("(;FF[4]SZ[19]HA[2]AB[pd][dp]AW[cc]AE[cc];W[qf];B[nd])")
+    from camkifu_tpu.core.controllerv import Controller
+
+    controller = Controller(sgffile=str(path))
+    stones = controller.stones()
+    assert stones[3, 15] == 1 and stones[15, 3] == 1   # AB at pd, dp
+    assert stones[2, 2] == 0                           # AW cleared by AE
+    assert (stones != 0).sum() == 4                    # 2 setup + 2 moves
+    assert controller.kifu.setup_stones()[0].color == "B"
