@@ -38,11 +38,18 @@ def _neighbors(row: int, col: int, gsize: int):
 class RuleUnsafe:
     """Not thread-safe — callers synchronize (see ``Rule``)."""
 
-    def __init__(self, gsize: int = guiconf.gsize, allow_suicide: bool = False):
+    def __init__(self, gsize: int = guiconf.gsize, allow_suicide: bool = False,
+                 enforce_ko: bool = False):
         self.gsize = gsize
         self.allow_suicide = allow_suicide
+        #: Simple-ko check (a move may not recreate the position as it stood
+        #: before the opponent's last move). Off by default: the vision
+        #: pipeline must record whatever is physically on the board, even if
+        #: the humans broke the ko rule; turn on for strict editing.
+        self.enforce_ko = enforce_ko
         self.stones = np.full((gsize, gsize), E, dtype="<U1")
         self._staged = None  # (grid_after, captured_moves, move) awaiting confirm
+        self._history: list[bytes] = []   # last two confirmed positions
 
     # -- queries ---------------------------------------------------------
 
@@ -114,6 +121,9 @@ class RuleUnsafe:
                 captured.append(Move("np", (move.color, gr, gc),
                                      gsize=self.gsize))
                 grid[gr, gc] = E
+        if self.enforce_ko and len(self._history) >= 2 \
+                and grid.tobytes() == self._history[-2]:
+            raise IllegalMove(f"{move}: ko (recreates the previous position)")
         self._staged = (grid, captured, move)
         return captured
 
@@ -137,6 +147,7 @@ class RuleUnsafe:
             raise IllegalMove("nothing staged to confirm")
         self.stones = self._staged[0]
         self._staged = None
+        self._history = (self._history + [self.stones.tobytes()])[-2:]
 
     def discard(self) -> None:
         self._staged = None

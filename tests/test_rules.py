@@ -98,3 +98,31 @@ def test_pass_is_legal_noop():
     assert r.put(Move("sgf", (B, ""))) == []
     r.confirm()
     assert (r.stones == E).all()
+
+
+def _ko_position(rule):
+    # B diamond around (1,1) holding a W stone; W diamond around (1,2).
+    for color, r, c in [(B, 0, 1), (W, 0, 2), (B, 1, 0), (W, 1, 3),
+                        (B, 2, 1), (W, 2, 2), (W, 1, 1)]:
+        put(rule, color, r, c)
+    caps = put(rule, B, 1, 2)             # B takes the ko
+    assert caps == [Move("np", (W, 1, 1))]
+
+
+def test_ko_allowed_by_default():
+    r = RuleUnsafe()
+    _ko_position(r)
+    caps = put(r, W, 1, 1)                # immediate recapture: physical
+    assert caps == [Move("np", (B, 1, 2))]   # boards can do this; record it
+
+
+def test_ko_rejected_when_enforced():
+    r = RuleUnsafe(enforce_ko=True)
+    _ko_position(r)
+    with pytest.raises(IllegalMove, match="ko"):
+        r.put(Move("np", (W, 1, 1)))
+    # After a ko threat elsewhere, the recapture becomes legal.
+    put(r, W, 9, 9)
+    put(r, B, 15, 15)
+    caps = put(r, W, 1, 1)
+    assert caps == [Move("np", (B, 1, 2))]
