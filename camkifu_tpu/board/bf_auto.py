@@ -94,7 +94,8 @@ def _box_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     return along(along(img, 0), 1)
 
 
-def _coarse_quad(gray_small: jnp.ndarray):
+def _coarse_quad(gray_small: jnp.ndarray,
+                 chroma_small: jnp.ndarray | None = None):
     """Edge-density board-region quadrilateral on the detection-res gray.
 
     The board is the region dense in edges (grid lines and/or stones) against
@@ -103,11 +104,26 @@ def _coarse_quad(gray_small: jnp.ndarray):
     walk with dense ops (SURVEY §2.3) and is stone-density-agnostic — Hough
     line extremes fail on full boards where stone rows out-vote slab edges.
 
+    ``chroma_small`` (same res, an R−B opponent channel) contributes a second
+    edge map, union-merged after per-channel normalization: dark woods
+    (walnut) can have near-zero *luma* contrast against the table and heavily
+    attenuated far-corner grid lines, yet stay strongly separated in chroma —
+    wood is the reddest surface in the scene. cv2.Canny-on-gray (the
+    reference, SURVEY §2.3) misses these boards entirely.
+
     Returns (quad (4, 2) in detection-res coords, score); score < ~0.1 means
     "no board found".
     """
     res = gray_small.shape[0]
     mag = edge_map(gray_small)
+    if chroma_small is not None:
+        mag_c = edge_map(chroma_small)
+        # Union in per-channel-normalized units: luma and chroma gradient
+        # amplitudes are not comparable (different dynamic ranges), but each
+        # edge_map is already thresholded relative to its own 99.5th pctl.
+        mag = jnp.maximum(mag / jnp.maximum(jnp.percentile(mag, 99.5), 1e-6),
+                          mag_c / jnp.maximum(jnp.percentile(mag_c, 99.5),
+                                              1e-6))
     density = _box_blur((mag > 0).astype(jnp.float32), radius=7)
     mask = density > 0.06
 
@@ -140,8 +156,13 @@ def _coarse_quad(gray_small: jnp.ndarray):
     out_count = (~inside).sum()
     out_mean = jnp.where(~inside, density, 0.0).sum() \
         / jnp.maximum(out_count, 1)
-    contrast = jnp.where(out_count > 0.05 * res * res,
-                         in_mean - out_mean, in_mean)
+    # Concentration *ratio*, not absolute density difference: a defocused
+    # empty pale board has very few edges (thin blurred grid lines only),
+    # but whatever edges exist are still entirely inside the quad. Absolute
+    # in−out scaling made the score collapse with edge abundance.
+    diff = jnp.where(out_count > 0.05 * res * res,
+                     in_mean - out_mean, in_mean)
+    contrast = diff / jnp.maximum(in_mean, 1e-3)
     # A board also has *line structure*: the Hough accumulator of its edges
     # is sharply peaked (grid lines / stone rows), while texture or noise —
     # which can fool the percentile-adaptive edge threshold into a dense
@@ -154,7 +175,7 @@ def _coarse_quad(gray_small: jnp.ndarray):
     e1 = quad[1] - quad[0]
     e2 = quad[3] - quad[0]
     quad_area = jnp.abs(e1[0] * e2[1] - e1[1] * e2[0])
-    score = jnp.clip(contrast * 8.0, 0.0, 1.0) * structure \
+    score = jnp.clip(contrast, 0.0, 1.0) * structure \
         * (quad_area > (0.15 * res) ** 2)
     return quad, score
 
@@ -244,12 +265,39 @@ def _snap_teeth(profile: jnp.ndarray, o, s, gsize: int):
     return jnp.where(ok, o2, o), jnp.where(ok, s2, s)
 
 
+def _comb_quality(profile: jnp.ndarray, o, s, gsize: int):
+    """Gap-penalized comb score at exactly (o, s), for cross-basin ranking.
+
+    Combs whose teeth run off the profile window cannot be the true grid
+    (the rectified window always covers the seed quad plus margin) — they
+    get a disqualifying penalty rather than a clipped-interpolation score.
+    """
+    n = profile.shape[0]
+    idx = jnp.arange(gsize, dtype=jnp.float32)
+    mid = jnp.arange(gsize - 1, dtype=jnp.float32) + 0.5
+
+    def interp(pos):
+        pos = jnp.clip(pos, 0.0, n - 1.001)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        f = pos - lo
+        return profile[lo] * (1 - f) + profile[lo + 1] * f
+
+    q = interp(o + s * idx).mean() - interp(o + s * mid).mean()
+    out = (o < 0.0) | (o + s * (gsize - 1) > n - 1.0)
+    return q - 10.0 * out
+
+
 def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
                  margin: float = 0.08, res: int = REFINE_RES,
                  gap_weight: float = 1.0):
     """Rectify by `quad` (+outward margin) and comb-fit the grid lines.
 
-    Returns (corners (4, 2) in frame coordinates, comb quality scalar).
+    Returns (corners (4, 2) in frame coordinates, comb quality scalar,
+    variant corners (9, 4, 2), variant qualities (9,)): the variants are the
+    comb translated by {-1, 0, +1} teeth along each axis — the comb's basins
+    are one tooth apart, and no in-basin scoring can tell "19 teeth on the
+    grid" from "18 on the grid + 1 on the slab edge" in every scene; the
+    caller races all basins under the slab-containment prior instead.
     """
     # Expand the quad outward so the whole grid is safely inside.
     ctr = quad.mean(axis=0)
@@ -299,11 +347,20 @@ def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
     oy, sy = _snap_teeth(row_profile, oy, sy, gsize)
 
     span = gsize - 1.0
-    xs = jnp.array([ox, ox + span * sx])
-    ys = jnp.array([oy, oy + span * sy])
-    rect_corners = jnp.array([[xs[0], ys[0]], [xs[1], ys[0]],
-                              [xs[1], ys[1]], [xs[0], ys[1]]])
-    return apply_homography(H, rect_corners), qx + qy
+    shifts = (-1.0, 0.0, 1.0)
+    qxs = [_comb_quality(col_profile, ox + d * sx, sx, gsize) for d in shifts]
+    qys = [_comb_quality(row_profile, oy + d * sy, sy, gsize) for d in shifts]
+    var_corners, var_q = [], []
+    for i, dx in enumerate(shifts):
+        for j, dy in enumerate(shifts):
+            x0, y0 = ox + dx * sx, oy + dy * sy
+            rc = jnp.array([[x0, y0], [x0 + span * sx, y0],
+                            [x0 + span * sx, y0 + span * sy],
+                            [x0, y0 + span * sy]])
+            var_corners.append(apply_homography(H, rc))
+            var_q.append(qxs[i] + qys[j])
+    corners = var_corners[4]                       # the (0, 0) central comb
+    return corners, qx + qy, jnp.stack(var_corners), jnp.stack(var_q)
 
 
 def _slab_inset(corners: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
@@ -332,9 +389,12 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
     """
     with jax.default_matmul_precision("float32"):
         h, w = frame.shape[0], frame.shape[1]
-        gray = rgb_to_gray(to_float(frame))
+        rgb = to_float(frame)
+        gray = rgb_to_gray(rgb)
         small = jax.image.resize(gray, (res, res), method="bilinear")
-        quad_small, score = _coarse_quad(small)
+        chroma = jax.image.resize(rgb[..., 0] - rgb[..., 2], (res, res),
+                                  method="bilinear")
+        quad_small, score = _coarse_quad(small, chroma)
         scale = jnp.array([(w - 1) / (res - 1), (h - 1) / (res - 1)],
                           jnp.float32)
         quad = quad_small * scale[None, :]
@@ -347,17 +407,21 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
         # *inside* the slab (≥ ~0.3 cell on a real goban); shifted basins
         # always push a corner onto or past a slab edge.
         cell = jnp.linalg.norm(quad[1] - quad[0]) / (gsize + 0.0)
-        candidates = []
+        variant_cs, variant_qs = [], []
         for gw in (1.0, 0.0):
-            c, q = _refine_grid(gray, quad, gsize, margin=0.10, gap_weight=gw)
-            candidates.append((c, q))
+            c, _q, vc, vq = _refine_grid(gray, quad, gsize, margin=0.10,
+                                         gap_weight=gw)
+            variant_cs.append(vc)
+            variant_qs.append(vq)
             for _ in range(refine_iters - 1):
-                c, q = _refine_grid(gray, c, gsize, margin=0.18, gap_weight=gw)
-                candidates.append((c, q))
+                c, _q, vc, vq = _refine_grid(gray, c, gsize, margin=0.18,
+                                             gap_weight=gw)
+                variant_cs.append(vc)
+                variant_qs.append(vq)
 
-        cs = jnp.stack([c for c, _ in candidates])          # (N, 4, 2)
-        qs = jnp.stack([q for _, q in candidates])          # (N,)
-        insets = jnp.stack([_slab_inset(c, quad) for c, _ in candidates])
+        cs = jnp.concatenate(variant_cs)                    # (N, 4, 2)
+        qs = jnp.concatenate(variant_qs)                    # (N,)
+        insets = jax.vmap(lambda cand: _slab_inset(cand, quad))(cs)
         feasible = insets >= 0.25 * cell
         # Among feasible candidates take the best comb quality; if none is
         # feasible (slab estimate itself off), fall back to max inset.

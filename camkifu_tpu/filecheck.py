@@ -141,15 +141,26 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
     from camkifu_tpu.utils import synth
 
     if video_spec.startswith("synth:"):
-        # synth:N[:seed][:hard] — rendered game with known ground truth;
-        # 'hard' adds stone jitter, a 30% lighting gradient, defocus blur,
-        # and a soft shadow (the adversarial eval for the ≥99% target).
+        # synth:N[:seed][:hard][:palette] — rendered game with known ground
+        # truth; 'hard' adds stone jitter, a 30% lighting gradient, defocus
+        # blur, and a soft shadow (the adversarial eval for the ≥99%
+        # target); a palette name (walnut/bamboo/…) swaps the board look.
         parts = video_spec.split(":")
         n_moves = int(parts[1])
-        seed = int(parts[2]) if len(parts) > 2 and parts[2] != "hard" else 7
-        hard = "hard" in parts[2:]
+        rest = parts[2:]
+        seed = next((int(p) for p in rest if p.isdigit()), 7)
+        hard = "hard" in rest
         hard_kw = dict(stone_jitter=0.07, light_gradient=0.3,
                        blur_sigma=1.2, shadow=0.18) if hard else {}
+        palette = next((p for p in rest if p in synth.PALETTES), None)
+        if palette:
+            hard_kw["palette"] = palette
+        bad = [p for p in rest
+               if not (p.isdigit() or p == "hard" or p in synth.PALETTES)]
+        if bad:
+            raise ValueError(
+                f"unknown synth spec token(s) {bad}: expected a seed, "
+                f"'hard', or a palette in {sorted(synth.PALETTES)}")
         moves = synth.sample_moves(n_moves, seed=seed)
         ref_moves = moves
         gt_corners = synth.default_corners((720, 1280))

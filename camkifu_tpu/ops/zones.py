@@ -46,6 +46,55 @@ def corner_indices(zone: int, frac: float = 0.36) -> np.ndarray:
     return np.nonzero(sel.reshape(-1))[0]
 
 
+def bg_indices(gsize: int, zone: int, frac: float = 0.36) -> np.ndarray:
+    """(g, g, n) flat zone-pixel indices for the background median.
+
+    Interior zones use all four corner patches (see corner_indices); border
+    zones swap each *outward-facing* patch for its inward mirror. With
+    imperfect (auto-detected) corners, an edge zone's outward patch can fall
+    past the board slab onto the table — the background median then flips to
+    the table color and the whole border row reads as phantom stones. The
+    indices are compile-time constants (numpy), so the take_along_axis they
+    feed is a constant gather, not the per-frame-varying kind TPUs serialize.
+    """
+    r = np.arange(zone, dtype=np.float32) - (zone - 1) / 2.0
+    far_lo = far_hi = np.abs(r) > frac * zone
+    lo, hi = far_lo & (r < 0), far_hi & (r > 0)
+    patch = {(sy, sx): np.nonzero((my[:, None] & mx[None, :]).reshape(-1))[0]
+             for sy, my in ((0, lo), (1, hi)) for sx, mx in ((0, lo), (1, hi))}
+    n = 4 * len(patch[0, 0])
+    out = np.empty((gsize, gsize, n), np.int32)
+    for i in range(gsize):
+        for j in range(gsize):
+            picks = []
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    y = 1 if (sy == 0 and i == 0) else \
+                        0 if (sy == 1 and i == gsize - 1) else sy
+                    x = 1 if (sx == 0 and j == 0) else \
+                        0 if (sx == 1 and j == gsize - 1) else sx
+                    picks.append(patch[y, x])
+            out[i, j] = np.concatenate(picks)
+    return out
+
+
+def _grid_median3(x: jnp.ndarray) -> jnp.ndarray:
+    """3×3 neighborhood median over the leading (g, g) grid dims.
+
+    The background field (wood tone × lighting) varies ~1–2% per cell, so a
+    neighbor's background is a valid stand-in — while any single zone's
+    corner-patch sample can be contaminated (a jittered corner stone's blur
+    spill, an outward patch clipping the table under warp misalignment).
+    The neighborhood median drops those point failures.
+    """
+    g0, g1 = x.shape[0], x.shape[1]
+    pads = [(1, 1), (1, 1)] + [(0, 0)] * (x.ndim - 2)
+    xp = jnp.pad(x, pads, mode="edge")
+    stack = jnp.stack([xp[di:di + g0, dj:dj + g1]
+                       for di in range(3) for dj in range(3)])
+    return jnp.median(stack, axis=0)
+
+
 def zone_stats(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
                zone: int = cvconf.zone_size) -> dict:
     """Shared per-intersection statistics consumed by the stone classifiers.
@@ -54,25 +103,28 @@ def zone_stats(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
     SfMeta's zone work: both SfClustering and SfContours need the zone
     extraction, the luma planes, and the corner-median backgrounds.
 
-    Keys: luma (g,g,z,z); disc_mean_rgb, bg_rgb (g,g,3); bg_luma,
-    disc_med_luma (g,g).
+    Keys: luma (g,g,z,z); disc_mean_rgb, disc_med_rgb, bg_rgb (g,g,3);
+    bg_luma, disc_med_luma (g,g).
     """
     zones = extract_zones(canonical, gsize, zone)            # (g,g,z,z,C)
     mask = disc_mask(zone)
     inv = 1.0 / jnp.maximum(mask.sum(), 1.0)
     c = zones.shape[-1]
     flat = zones.reshape(gsize, gsize, zone * zone, c)
-    corner_idx = corner_indices(zone)
+    bg_idx = bg_indices(gsize, zone)                         # (g,g,n) const
     disc_idx = np.nonzero(np.asarray(mask).reshape(-1) > 0.5)[0]
     luma = rgb_to_gray(zones)                                # (g,g,z,z)
     luma_flat = luma.reshape(gsize, gsize, zone * zone)
+    bg_px = jnp.take_along_axis(flat, bg_idx[..., None], axis=2)
     return {
         "zones": zones,
         "luma": luma,
         "disc_mean_rgb": jnp.einsum("ghyxc,yx->ghc", zones, mask) * inv,
-        "bg_rgb": jnp.median(flat[:, :, corner_idx, :], axis=2),
-        "bg_luma": jnp.median(luma_flat[..., corner_idx], axis=-1),
+        "bg_rgb": _grid_median3(jnp.median(bg_px, axis=2)),
+        "bg_luma": _grid_median3(jnp.median(
+            jnp.take_along_axis(luma_flat, bg_idx, axis=-1), axis=-1)),
         "disc_med_luma": jnp.median(luma_flat[..., disc_idx], axis=-1),
+        "disc_med_rgb": jnp.median(flat[:, :, disc_idx, :], axis=2),
     }
 
 
@@ -102,7 +154,9 @@ def zone_features(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
     # grid lines cross edge midpoints, not corners.
     c = zones.shape[-1]
     flat = zones.reshape(gsize, gsize, zone * zone, c)
-    bg_rgb = jnp.median(flat[:, :, corner_indices(zone), :], axis=2)
+    bg_idx = bg_indices(gsize, zone)
+    bg_rgb = _grid_median3(jnp.median(
+        jnp.take_along_axis(flat, bg_idx[..., None], axis=2), axis=2))
     luma = rgb_to_gray(zones)                                # (g,g,z,z)
     mean_luma = jnp.einsum("ghyx,yx->gh", luma, mask) * inv
     var_luma = jnp.einsum("ghyx,yx->gh", luma**2, mask) * inv - mean_luma**2

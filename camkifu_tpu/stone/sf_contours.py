@@ -20,10 +20,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from camkifu_tpu.config import cvconf, guiconf
 from camkifu_tpu.ops.zones import disc_mask
 
 EMPTY, BLACK, WHITE = 0, 1, 2
+
 
 #: |luma − background| for a pixel to count as "stone-like".
 PIXEL_CONTRAST = 0.13
@@ -36,6 +39,10 @@ MIN_DISC_FILL = 0.60
 #: ~2/3 of the ring; a full-zone occluder (hand, shadow blob) activates ~all
 #: of it — that is what this rejects.
 MAX_RING_FILL = 0.85
+
+#: Ring fill below this carries no confidence penalty (the legitimate-spill
+#: regime above); confidence then falls linearly to 0 at MAX_RING_FILL.
+RING_OK_FILL = 0.66
 
 
 def classify_canonical(canonical: jnp.ndarray, gsize: int = guiconf.gsize,
@@ -56,25 +63,30 @@ def classify_stats(stats: dict, zone: int = cvconf.zone_size):
     corners). Measured on the adversarial sweep this beats
     3×3-neighborhood ring medians 0 vs 85 misreads.
     """
-    luma = stats["luma"]                                   # (g,g,z,z)
     disc = disc_mask(zone)                                 # (z,z)
     ring = 1.0 - disc
     ring_n = jnp.maximum(ring.sum(), 1.0)
     disc_n = jnp.maximum(disc.sum(), 1.0)
-    bg = stats["bg_luma"]                                  # (g, g)
-    med_diff = stats["disc_med_luma"] - bg
+    # Max-channel contrast, not luma: a white stone on pale bamboo wood is
+    # nearly luma-neutral (Δ≈0.12) but strongly blue-shifted (Δblue≈0.37);
+    # a dark stone on dark walnut is the mirror case. Luma keeps only the
+    # color *sign* (darker = black).
+    med_diff = stats["disc_med_luma"] - stats["bg_luma"]   # (g, g), signed
+    med_mag = jnp.abs(stats["disc_med_rgb"]
+                      - stats["bg_rgb"]).max(axis=-1)      # (g, g)
 
-    diff = luma - bg[..., None, None]
-    active = jnp.abs(diff) > PIXEL_CONTRAST                # (g,g,z,z)
+    diff = stats["zones"] - stats["bg_rgb"][:, :, None, None, :]
+    active = jnp.abs(diff).max(axis=-1) > PIXEL_CONTRAST   # (g,g,z,z)
 
     disc_fill = jnp.einsum("ghyx,yx->gh", active.astype(jnp.float32), disc) / disc_n
-    ring_fill = jnp.einsum("ghyx,yx->gh", active.astype(jnp.float32), ring) / ring_n
+    ring_fill = jnp.einsum("ghyx,yx->gh", active.astype(jnp.float32),
+                           ring) / ring_n
 
     # Area + shape + contrast: the disc must be filled, the ring mostly not
     # (grid lines are a minority), and the disc *median* must genuinely
     # contrast with the background (kills line-crossing false positives).
     is_stone = (disc_fill > MIN_DISC_FILL) & (ring_fill < MAX_RING_FILL) \
-        & (jnp.abs(med_diff) > PIXEL_CONTRAST)
+        & (med_mag > PIXEL_CONTRAST)
     color = jnp.where(med_diff < 0, BLACK, WHITE).astype(jnp.int8)
     labels = jnp.where(is_stone, color, EMPTY).astype(jnp.int8)
 
@@ -82,7 +94,8 @@ def classify_stats(stats: dict, zone: int = cvconf.zone_size):
     # not; empties — how inactive the disc is.
     conf_stone = jnp.clip((disc_fill - MIN_DISC_FILL) / (1 - MIN_DISC_FILL),
                           0, 1) * jnp.clip((MAX_RING_FILL - ring_fill)
-                                           / MAX_RING_FILL, 0, 1)
+                                           / (MAX_RING_FILL - RING_OK_FILL),
+                                           0, 1)
     conf_empty = jnp.clip(1.0 - disc_fill / MIN_DISC_FILL, 0, 1)
     conf = jnp.where(is_stone, conf_stone, conf_empty)
     return labels, conf
@@ -99,8 +112,6 @@ from camkifu_tpu.ops.color import to_float  # noqa: E402
 from camkifu_tpu.ops.warp import warp_batch_fixed  # noqa: E402
 from camkifu_tpu.stone.stonesfinder import StonesFinder as _SF  # noqa: E402
 
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("gsize",))

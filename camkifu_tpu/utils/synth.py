@@ -21,11 +21,19 @@ BLACK_STONE = (28, 26, 24)
 WHITE_STONE = (235, 233, 228)
 TABLE = (70, 75, 60)         # background behind the board
 
+#: Alternative looks for robustness testing: (wood, line, black, white).
+PALETTES = {
+    "kaya": (WOOD, LINE, BLACK_STONE, WHITE_STONE),
+    "walnut": ((120, 85, 55), (25, 18, 12), (20, 20, 22), (228, 224, 210)),
+    "bamboo": ((214, 190, 140), (60, 50, 35), (35, 32, 30), (240, 240, 235)),
+}
+
 
 def render_canonical(labels: np.ndarray, zone: int = 24,
                      rng: np.random.Generator | None = None,
                      stone_jitter: float = 0.0,
-                     jitter_key: int = 0) -> np.ndarray:
+                     jitter_key: int = 0,
+                     palette: str = "kaya") -> np.ndarray:
     """Draw a top-down goban: labels (g, g) int (0=E, 1=B, 2=W) → RGB uint8.
 
     The image side is g*zone with intersection (r, c) at ((c+.5)z, (r+.5)z),
@@ -36,8 +44,9 @@ def render_canonical(labels: np.ndarray, zone: int = 24,
     g = labels.shape[0]
     size = g * zone
     rng = rng or np.random.default_rng(0)
+    wood, line, black, white = PALETTES[palette]
     img = np.empty((size, size, 3), np.uint8)
-    img[:] = WOOD
+    img[:] = wood
     # Wood grain noise.
     img = np.clip(img.astype(np.int16)
                   + rng.integers(-8, 8, (size, 1, 1)), 0, 255).astype(np.uint8)
@@ -45,20 +54,20 @@ def render_canonical(labels: np.ndarray, zone: int = 24,
     hi = int(size - zone / 2)
     for i in range(g):
         p = int((i + 0.5) * zone)
-        cv2.line(img, (lo, p), (hi, p), LINE, 1, cv2.LINE_AA)
-        cv2.line(img, (p, lo), (p, hi), LINE, 1, cv2.LINE_AA)
+        cv2.line(img, (lo, p), (hi, p), line, 1, cv2.LINE_AA)
+        cv2.line(img, (p, lo), (p, hi), line, 1, cv2.LINE_AA)
     # Hoshi points.
     if g == 19:
         for r in (3, 9, 15):
             for c in (3, 9, 15):
                 cv2.circle(img, (int((c + .5) * zone), int((r + .5) * zone)),
-                           max(2, zone // 10), LINE, -1, cv2.LINE_AA)
+                           max(2, zone // 10), line, -1, cv2.LINE_AA)
     radius = int(zone * 0.47)
     for r in range(g):
         for c in range(g):
             if labels[r, c] == 0:
                 continue
-            color = BLACK_STONE if labels[r, c] == 1 else WHITE_STONE
+            color = black if labels[r, c] == 1 else white
             jx = jy = 0.0
             if stone_jitter:
                 # Deterministic per intersection: a stone keeps its placement
@@ -100,7 +109,8 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                  light_gradient: float = 0.0,
                  blur_sigma: float = 0.0,
                  shadow: float = 0.0,
-                 jitter_seed: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+                 jitter_seed: int | None = None,
+                 palette: str = "kaya") -> tuple[np.ndarray, np.ndarray]:
     """Render a camera frame of the given board state.
 
     light_gradient: relative brightness falloff corner-to-corner (0.3 =
@@ -120,7 +130,7 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
     canon = render_canonical(labels, zone=zone, rng=rng,
                              stone_jitter=stone_jitter,
                              jitter_key=jitter_seed if jitter_seed is not None
-                             else seed)
+                             else seed, palette=palette)
     h, w = frame_hw
     corners = default_corners(frame_hw) if corners is None else \
         np.asarray(corners, np.float32)

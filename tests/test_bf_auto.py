@@ -115,3 +115,17 @@ def test_edge_map_sparse_and_on_lines():
     mag = np.asarray(edge_map(small))
     frac = (mag > 0).mean()
     assert 0.005 < frac < 0.2     # NMS keeps thin edges only
+
+
+def test_hysteresis_connectivity():
+    """Weak edges survive only when connected to strong ones."""
+    from camkifu_tpu.ops.edges import hysteresis
+
+    mag = np.zeros((32, 32), np.float32)
+    mag[10, 5:15] = 0.3          # weak segment…
+    mag[10, 15] = 1.0            # …touching a strong pixel
+    mag[20, 5:15] = 0.3          # isolated weak segment
+    out = np.asarray(hysteresis(jnp.asarray(mag), low=0.2, high=0.8,
+                                iters=12))
+    assert (out[10, 5:16] > 0).all()
+    assert (out[20, 5:15] == 0).all()

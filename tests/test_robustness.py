@@ -89,3 +89,59 @@ def test_board_detection_under_defocus_and_shadow():
                                         blur_sigma=1.5, shadow=0.2)
     det, score = bf_auto.detect_corners(jnp.asarray(frame))
     assert np.abs(np.asarray(det) - corners).max() < 11.0
+
+
+@pytest.mark.parametrize("palette", ["walnut", "bamboo"])
+def test_classification_on_alternative_boards(palette):
+    """Dark walnut / pale bamboo boards with different stone materials —
+    contrast-based classification must not be tuned to one wood tone."""
+    labels = board()
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280),
+                                        palette=palette)
+    out, _ = pipeline.read_board_batch(jnp.asarray(frame[None]),
+                                       jnp.asarray(corners))
+    agreement = (np.asarray(out[0]) == labels).mean()
+    assert agreement == 1.0, (palette, agreement)
+
+
+@pytest.mark.parametrize("palette", ["walnut", "bamboo"])
+def test_detection_on_alternative_boards(palette):
+    labels = board(50, seed=8)
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280),
+                                        palette=palette)
+    det, score = bf_auto.detect_corners(jnp.asarray(frame))
+    assert np.abs(np.asarray(det) - corners).max() < 11.0, palette
+
+
+@pytest.mark.parametrize("palette", ["walnut", "bamboo"])
+def test_detection_score_on_hard_palettes(palette):
+    """Defocus + lighting gradient on extreme wood tones must not push the
+    detection confidence below the pipeline's accept threshold (0.1) — a
+    correct-but-rejected detection leaves the grid unanchored and turns the
+    whole game into phantom reads."""
+    labels = board(0)
+    frame, corners = synth.render_frame(
+        labels, frame_hw=(720, 1280), seed=4, palette=palette,
+        stone_jitter=0.07, light_gradient=0.3, blur_sigma=1.2, shadow=0.18)
+    det, score = bf_auto.detect_corners(jnp.asarray(frame))
+    assert float(score) > 0.15, palette
+    assert np.abs(np.asarray(det) - corners).max() < 11.0, palette
+
+
+def test_bg_indices_border_aware():
+    """Border zones must sample only inward corner patches (an outward patch
+    can fall past the slab onto the table under warp misalignment)."""
+    from camkifu_tpu.ops.zones import bg_indices, corner_indices
+
+    zone = 16
+    idx = bg_indices(19, zone)
+    base = set(corner_indices(zone).tolist())
+    # Interior zone: exactly the four corner patches.
+    assert set(idx[9, 9].tolist()) == base
+    # Corner zone (0, 0): only the inward (bottom-right) patch — every
+    # selected pixel lies in the lower-right quadrant.
+    rows = idx[0, 0] // zone
+    cols = idx[0, 0] % zone
+    assert (rows > zone // 2).all() and (cols > zone // 2).all()
+    # Top-row zone: no pixel from the top half.
+    assert (idx[0, 9] // zone > zone // 2).all()
