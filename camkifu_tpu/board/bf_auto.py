@@ -287,17 +287,13 @@ def _comb_quality(profile: jnp.ndarray, o, s, gsize: int):
     return q - 10.0 * out
 
 
-def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
-                 margin: float = 0.08, res: int = REFINE_RES,
-                 gap_weight: float = 1.0):
-    """Rectify by `quad` (+outward margin) and comb-fit the grid lines.
+def _rect_profiles(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
+                   margin: float = 0.08, res: int = REFINE_RES):
+    """Rectify by `quad` (+outward margin) → (H, col_profile, row_profile).
 
-    Returns (corners (4, 2) in frame coordinates, comb quality scalar,
-    variant corners (9, 4, 2), variant qualities (9,)): the variants are the
-    comb translated by {-1, 0, +1} teeth along each axis — the comb's basins
-    are one tooth apart, and no in-basin scoring can tell "19 teeth on the
-    grid" from "18 on the grid + 1 on the slab edge" in every scene; the
-    caller races all basins under the slab-containment prior instead.
+    Split from the comb fit so callers racing several comb scorings on the
+    SAME seed pay the rectification warp (the expensive part, a res² gather
+    + Sobel) once.
     """
     # Expand the quad outward so the whole grid is safely inside.
     ctr = quad.mean(axis=0)
@@ -340,7 +336,20 @@ def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
         + prep(dev[interior, :].mean(axis=0))
     row_profile = prep(jnp.abs(gy)[:, interior].mean(axis=1)) \
         + prep(dev[:, interior].mean(axis=1))
+    return H, col_profile, row_profile
 
+
+def _fit_combs(H: jnp.ndarray, col_profile: jnp.ndarray,
+               row_profile: jnp.ndarray, gsize: int, gap_weight: float):
+    """Comb-fit both axes on precomputed profiles.
+
+    Returns (corners (4, 2) in frame coordinates, comb quality scalar,
+    variant corners (9, 4, 2), variant qualities (9,)): the variants are the
+    comb translated by {-1, 0, +1} teeth along each axis — the comb's basins
+    are one tooth apart, and no in-basin scoring can tell "19 teeth on the
+    grid" from "18 on the grid + 1 on the slab edge" in every scene; the
+    caller races all basins under the slab-containment prior instead.
+    """
     ox, sx, qx = _comb_fit(col_profile, gsize, gap_weight=gap_weight)
     oy, sy, qy = _comb_fit(row_profile, gsize, gap_weight=gap_weight)
     ox, sx = _snap_teeth(col_profile, ox, sx, gsize)
@@ -361,6 +370,16 @@ def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
             var_q.append(qxs[i] + qys[j])
     corners = var_corners[4]                       # the (0, 0) central comb
     return corners, qx + qy, jnp.stack(var_corners), jnp.stack(var_q)
+
+
+def _refine_grid(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
+                 margin: float = 0.08, res: int = REFINE_RES,
+                 gap_weight: float = 1.0):
+    """Rectify by `quad` (+outward margin) and comb-fit the grid lines
+    (_rect_profiles + _fit_combs; see those for the split rationale)."""
+    H, col_profile, row_profile = _rect_profiles(gray, quad, gsize, margin,
+                                                 res)
+    return _fit_combs(H, col_profile, row_profile, gsize, gap_weight)
 
 
 def _slab_inset(corners: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
@@ -408,9 +427,12 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
         # always push a corner onto or past a slab edge.
         cell = jnp.linalg.norm(quad[1] - quad[0]) / (gsize + 0.0)
         variant_cs, variant_qs = [], []
+        # Iteration 1 shares one rectification between the two comb
+        # scorings (same seed quad → identical profiles); later iterations
+        # chain from each scoring's own corners and re-rectify.
+        hcr = _rect_profiles(gray, quad, gsize, margin=0.10)
         for gw in (1.0, 0.0):
-            c, _q, vc, vq = _refine_grid(gray, quad, gsize, margin=0.10,
-                                         gap_weight=gw)
+            c, _q, vc, vq = _fit_combs(*hcr, gsize, gap_weight=gw)
             variant_cs.append(vc)
             variant_qs.append(vq)
             for _ in range(refine_iters - 1):
