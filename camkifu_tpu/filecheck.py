@@ -120,8 +120,15 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
             from camkifu_tpu.stone import sf_meta
             if state is None:
                 state = sf_meta.init_state(gsize=gsize)
+                # Same opt-in neural voter as the SfMeta runtime host: the
+                # bundled (or user-trained) checkpoint joins the ensemble.
+                try:
+                    from camkifu_tpu.models import neural
+                    neural_params = neural.load_params()
+                except Exception:
+                    neural_params = None
             state, labels, conf, _agit = sf_meta.read_batch(
-                state, fb, corners_dev)
+                state, fb, corners_dev, neural_params=neural_params)
         else:
             labels, conf = pipeline.read_board_batch(fb, corners_dev)
         labels = np.asarray(labels)

@@ -76,6 +76,7 @@ def harvest_patches(n_boards: int = 40, frame_hw=(720, 1280), seed: int = 0,
     from camkifu_tpu.utils import synth
 
     rng = np.random.default_rng(seed)
+    palettes = sorted(synth.PALETTES)
     all_patches, all_labels = [], []
     for b in range(n_boards):
         labels = np.zeros((19, 19), np.int8)
@@ -86,9 +87,15 @@ def harvest_patches(n_boards: int = 40, frame_hw=(720, 1280), seed: int = 0,
             labels.flat[idx[1::2]] = 2
         persp = float(rng.uniform(0.03, 0.25))
         corners = synth.default_corners(frame_hw, perspective=persp)
-        frame, _ = synth.render_frame(labels, corners, frame_hw,
-                                      seed=int(rng.integers(1 << 30)),
-                                      stone_jitter=0.06)
+        # Cycle wood palettes and sample the adversarial-eval degradation
+        # ranges (lighting gradient, defocus, shadow) so the voter is not
+        # tuned to one board look or to clean studio frames.
+        frame, _ = synth.render_frame(
+            labels, corners, frame_hw, seed=int(rng.integers(1 << 30)),
+            stone_jitter=0.06, palette=palettes[b % len(palettes)],
+            light_gradient=float(rng.uniform(0.0, 0.35)),
+            blur_sigma=float(rng.choice([0.0, 0.0, 0.8, 1.4])),
+            shadow=float(rng.choice([0.0, 0.0, 0.15, 0.25])))
         canon = warp_to_canonical(to_float(jnp.asarray(frame)),
                                   jnp.asarray(corners))
         zones = np.asarray(extract_zones(canon, 19, zone))
@@ -137,6 +144,11 @@ def train(patches, labels, epochs: int = 3, batch: int = 2048,
 
 DEFAULT_CKPT = os.path.expanduser("~/.camkifu_tpu/sf_neural_ckpt")
 
+#: Checkpoint shipped with the package (trained by cktrain on the synthetic
+#: multi-palette + degradation harvest); a user-trained DEFAULT_CKPT wins.
+BUNDLED_CKPT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "sf_neural_ckpt")
+
 
 def save_params(params, path: str = DEFAULT_CKPT) -> None:
     import orbax.checkpoint as ocp
@@ -151,6 +163,9 @@ def load_params(path: str = DEFAULT_CKPT):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.expanduser(path))
+    if not os.path.isdir(path) and path == os.path.abspath(
+            os.path.expanduser(DEFAULT_CKPT)):
+        path = BUNDLED_CKPT                    # packaged fallback
     if not os.path.isdir(path):
         return None
     ckptr = ocp.StandardCheckpointer()
