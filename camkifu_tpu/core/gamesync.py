@@ -180,14 +180,48 @@ class MoveExtractor:
 def score_moves(detected: list[Move], reference: list[Move]) -> dict:
     """Move-sequence agreement — the filecheck metric (SURVEY §3.5/§6).
 
-    Position-wise comparison of the two sequences; returns counts and the
-    agreement ratio in [0, 1].
+    The sequences are *aligned* (minimum-edit-distance, as the reference's
+    checker reported good/wrong/missing per alignment) rather than zipped
+    positionally: one early missed move then scores as exactly one "missing"
+    instead of turning every subsequent correct move into "wrong". Counts:
+    good = aligned equal pairs, wrong = aligned substitutions, missing =
+    reference moves with no detected counterpart, extra = detected moves with
+    no reference counterpart. agreement = good / len(reference).
     """
-    good = sum(1 for d, r in zip(detected, reference) if d == r)
-    wrong = sum(1 for d, r in zip(detected, reference) if d != r)
-    missing = max(0, len(reference) - len(detected))
-    extra = max(0, len(detected) - len(reference))
-    agreement = good / len(reference) if reference else 1.0
+    n, m = len(detected), len(reference)
+    # DP over (detected, reference) prefixes: cost 0 for a match, 1 for a
+    # substitution / insertion / deletion. Sequences are game-length (tens to
+    # a few hundred moves) — O(n·m) host Python is negligible.
+    INF = 1 << 30
+    cost = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        cost[i][0] = i
+    for j in range(1, m + 1):
+        cost[0][j] = j
+    for i in range(1, n + 1):
+        di = detected[i - 1]
+        row, prev = cost[i], cost[i - 1]
+        for j in range(1, m + 1):
+            sub = prev[j - 1] + (0 if di == reference[j - 1] else 1)
+            row[j] = min(sub, prev[j] + 1, row[j - 1] + 1)
+    # Backtrack, preferring matches, then substitutions.
+    good = wrong = missing = extra = 0
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and cost[i][j] == cost[i - 1][j - 1] \
+                and detected[i - 1] == reference[j - 1]:
+            good += 1
+            i, j = i - 1, j - 1
+        elif i > 0 and j > 0 and cost[i][j] == cost[i - 1][j - 1] + 1:
+            wrong += 1
+            i, j = i - 1, j - 1
+        elif j > 0 and cost[i][j] == cost[i][j - 1] + 1:
+            missing += 1
+            j -= 1
+        else:
+            extra += 1
+            i -= 1
+    agreement = good / m if reference else 1.0
     return {"good": good, "wrong": wrong, "missing": missing,
-            "extra": extra, "ref_moves": len(reference),
-            "detected_moves": len(detected), "agreement": agreement}
+            "extra": extra, "ref_moves": m,
+            "detected_moves": n, "agreement": agreement}

@@ -128,3 +128,38 @@ def test_score_moves():
     assert s["good"] == 1 and s["wrong"] == 1 and s["missing"] == 1
     assert abs(s["agreement"] - 1 / 3) < 1e-9
     assert score_moves(ref, ref)["agreement"] == 1.0
+
+
+def test_score_moves_aligned_after_early_miss():
+    """A dropped move 3 must score the remaining N-1 moves as good
+    (alignment, not positional zip)."""
+    from camkifu_tpu.utils.synth import sample_moves
+
+    ref = sample_moves(12, seed=3)
+    det = ref[:2] + ref[3:]                       # move 3 missed
+    s = score_moves(det, ref)
+    assert s["good"] == 11 and s["missing"] == 1
+    assert s["wrong"] == 0 and s["extra"] == 0
+    assert abs(s["agreement"] - 11 / 12) < 1e-9
+
+
+def test_score_moves_extra_and_substitution():
+    from camkifu_tpu.utils.synth import sample_moves
+
+    ref = sample_moves(10, seed=5)
+    used = {(m.row, m.col) for m in ref}
+    spot = next((r, c) for r in range(19) for c in range(19)
+                if (r, c) not in used)
+    phantom = Move("np", (B,) + spot)
+    assert phantom not in ref
+    det = ref[:4] + [phantom] + ref[4:]           # phantom insertion
+    s = score_moves(det, ref)
+    assert s["good"] == 10 and s["extra"] == 1 and s["missing"] == 0
+    # One move read at the wrong intersection → exactly one "wrong".
+    det2 = list(ref)
+    spot2 = next((r, c) for r in range(18, -1, -1) for c in range(18, -1, -1)
+                 if (r, c) not in used and (r, c) != spot)
+    det2[6] = Move("np", (det2[6].color,) + spot2, gsize=19)
+    s2 = score_moves(det2, ref)
+    assert s2["good"] == 9 and s2["wrong"] == 1
+    assert s2["missing"] == 0 and s2["extra"] == 0
