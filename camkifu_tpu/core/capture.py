@@ -39,6 +39,24 @@ class CaptureBase:
         return 0.0
 
 
+def pad_batch(frames: np.ndarray, size: int):
+    """Pad a (k, H, W, 3) batch to the static jit batch ``size`` by repeating
+    the last frame → (padded (size, H, W, 3), valid_count k).
+
+    Every consumer of capture batches must go through this: a live-camera
+    ring delivers however many frames it holds, and each distinct batch
+    shape would otherwise be a fresh jit specialization (20–40 s compile
+    through this environment's tunnel). Padding with copies of the last real
+    frame is semantically safe for every finder: the motion gate sees zero
+    diff and the vote scan just re-reads an identical frame.
+    """
+    k = frames.shape[0]
+    if k == 0 or k >= size:
+        return frames[:size], min(k, size)
+    reps = np.repeat(frames[-1:], size - k, axis=0)
+    return np.concatenate([frames, reps], axis=0), k
+
+
 def _crop(frame: np.ndarray, bounds: tuple[float, float]) -> np.ndarray:
     if bounds == (0.0, 1.0):
         return frame

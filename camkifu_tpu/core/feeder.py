@@ -32,15 +32,20 @@ class DeviceFeeder:
         import jax
         import jax.numpy as jnp
 
+        from camkifu_tpu.core.capture import pad_batch
+
         done = False
         while not done and not self._stop.is_set():
             frames, done = self.capture.read_batch(self.batch)
-            if frames.shape[0]:
+            frames, n = pad_batch(frames, self.batch)
+            if n:
                 # device_put returns immediately; the DMA overlaps with the
                 # consumer's compute on the previous batch. The last host
-                # frame rides along for the GUI preview window.
+                # frame rides along for the GUI preview window. Frames are
+                # padded to the static batch size so every dispatch hits the
+                # same jit specialization (live rings vary in occupancy).
                 dev = jax.device_put(jnp.asarray(frames))
-                self._q.put((dev, frames.shape[0], done, frames[-1]))
+                self._q.put((dev, n, done, frames[n - 1]))
             elif done:
                 break
         self._q.put(None)                    # end-of-stream sentinel

@@ -36,14 +36,14 @@ class VidProcessor:
                 continue
             self._step_once = False
             t0 = time.perf_counter()
-            frames, done = self.read()
-            if frames.shape[0]:
+            frames, n, done = self.read()
+            if n:
                 try:
-                    self._doframe(frames)
+                    self._doframe(frames, n)
                 except Exception as exc:  # surface errors, don't kill the app
                     self.last_error = f"{type(exc).__name__}: {exc}"
                     self._on_error(exc)
-                self._count(frames.shape[0])
+                self._count(n)
             if done:
                 break
             if not self.full_speed and self.frame_period > 0:
@@ -55,7 +55,10 @@ class VidProcessor:
     def read(self):
         return self.vmanager.read_batch()
 
-    def _doframe(self, frames) -> None:
+    def _doframe(self, frames, n: int | None = None) -> None:
+        """Process a batch. ``frames`` always has the static batch shape;
+        ``n`` (≤ batch) is how many leading frames are real — the tail
+        repeats the last real frame (core.capture.pad_batch)."""
         raise NotImplementedError
 
     def _prepare(self) -> None:

@@ -20,7 +20,7 @@ import threading
 import numpy as np
 
 from camkifu_tpu.config import cvconf
-from camkifu_tpu.core.capture import open_capture
+from camkifu_tpu.core.capture import open_capture, pad_batch
 
 
 class VManagerBase:
@@ -59,8 +59,12 @@ class VManagerBase:
     # -- frame source for VidProcessors -------------------------------------
 
     def read_batch(self):
+        """→ (frames (batch, H, W, 3) — padded to the static jit batch size,
+        valid_count, done)."""
         self.init_capture()
-        return self.capture.read_batch(self.batch)
+        frames, done = self.capture.read_batch(self.batch)
+        frames, n = pad_batch(frames, self.batch)
+        return frames, n, done
 
     def error_to_gui(self, message: str) -> None:
         if self.controller is not None:
@@ -131,13 +135,13 @@ class VManagerSeq(VManagerBase):
         batches = 0
         while max_batches is None or batches < max_batches:
             frames, done = self.capture.read_batch(self.batch)
-            if frames.shape[0]:
-                self.board_finder._doframe(frames)
-                self.stones_finder._doframe(frames)
-                self.board_finder._count(frames.shape[0])
-                self.stones_finder._count(frames.shape[0])
-                self.stats.record(frames.shape[0],
-                                  **self.stones_finder.metadata)
+            frames, n = pad_batch(frames, self.batch)
+            if n:
+                self.board_finder._doframe(frames, n)
+                self.stones_finder._doframe(frames, n)
+                self.board_finder._count(n)
+                self.stones_finder._count(n)
+                self.stats.record(n, **self.stones_finder.metadata)
             batches += 1
             if done:
                 break
@@ -192,8 +196,8 @@ class VManager(VManagerBase):
                 bf._step_once = sf._step_once = False
                 self.last_frame = np.ascontiguousarray(last_host)
                 try:
-                    bf._doframe(frames)
-                    sf._doframe(frames)
+                    bf._doframe(frames, n)
+                    sf._doframe(frames, n)
                 except Exception as exc:
                     self.error_to_gui(f"{type(exc).__name__}: {exc}")
                 bf._count(n)

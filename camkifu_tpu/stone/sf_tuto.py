@@ -25,7 +25,7 @@ class SfTuto(StonesFinder):
         super().__init__(vmanager)
         self._next = 0
 
-    def _doframe(self, frames) -> None:
+    def _doframe(self, frames, n: int | None = None) -> None:
         # A real finder implements _find() and lets the base class diff
         # readings into moves; this skeleton pipes a canned move per batch to
         # demonstrate the suggest channel end-to-end.

@@ -108,22 +108,31 @@ class StonesFinder(VidProcessor):
 
     # -- frame processing ---------------------------------------------------
 
-    def _doframe(self, frames) -> None:
+    def _doframe(self, frames, n: int | None = None) -> None:
         corners = self._corners()
         if corners is None:
             self.metadata["status"] = "waiting for board"
             return
         labels, conf = self._find(frames, corners)
         labels = np.asarray(labels)
-        for i in range(labels.shape[0]):
+        n = labels.shape[0] if n is None else min(n, labels.shape[0])
+        for i in range(n):
             self.extractor.advance(labels[i])
             self._track_contradictions(labels[i])
 
+    #: Whether _find accepts per-frame (B, 4, 2) corners. All bundled
+    #: finders do (their warps route through warp_batch_chunked when
+    #: corners.ndim == 3); a custom plugin may opt out.
+    accepts_corner_batch = True
+
     def _corners(self):
         bf = getattr(self.vmanager, "board_finder", None)
-        if bf is not None and bf.ready():
-            return bf.corners_array
-        return None
+        if bf is None or not bf.ready():
+            return None
+        cb = getattr(bf, "corners_batch", None)
+        if self.accepts_corner_batch and cb is not None:
+            return cb                       # per-frame corners (tracking)
+        return bf.corners_array
 
     def _find(self, frames, corners):
         """Batched device classification → (labels (B, g, g), conf)."""

@@ -106,8 +106,11 @@ def test_device_feeder_order_and_counts():
     got = []
     for dev, n, done, last_host in feeder:
         arr = np.asarray(dev)
-        assert arr.shape[0] == n
-        got.extend(arr[:, 0, 0, 0].tolist())
+        # Batches arrive padded to the static jit batch size; the tail
+        # repeats the last real frame (one jit specialization — VERDICT r1).
+        assert arr.shape[0] == 4
+        assert (arr[n:] == arr[n - 1]).all()
+        got.extend(arr[:n, 0, 0, 0].tolist())
         assert last_host[0, 0, 0] == got[-1]
     assert got == list(range(10))
     assert done
