@@ -5,10 +5,15 @@ Headline (BASELINE.json): sustained 1080p frames/sec/chip for board tracking
 board detect once + per-frame classify). The other four BASELINE configs are
 reported as sub-metrics in the same line:
 
-  c1_still_ms        single 1080p still: detect once + classify (latency)
-  c2_fps             batch-128 1080p classify throughput  ← headline
+  c1_still_ms        single 1080p still: detect + classify (latency)
+  c2_fps             batch-128 1080p: one full board detection per batch +
+                     per-frame classify, detection in the timed region
+                     ← headline
   c3_video_fps       720p sequential frames through the SfMeta vote scan
-  c4_handheld_fps    1080p with per-frame corners (re-detection path)
+                     (film mode: corners fixed after initial detection)
+  c4_handheld_fps    1080p handheld: full detection (first frame) + per-
+                     frame corner tracking + vote scan, all timed; the
+                     every-frame-full-redetect rate is reported alongside
   c5_streams_fps     8 concurrent 1080p streams batched on one chip
 
 Method: inputs staged in HBM once, `reps` dispatches queued (pipelined, as
@@ -43,6 +48,53 @@ def _timeit(fn, fence, reps=10, tries=3):
     return best / reps
 
 
+#: Tunnel health thresholds: below/above these the numbers measure the RPC
+#: tunnel, not the chip (PERF.md "whole-app tunnel-bound" note).
+HEALTHY_STAGING_MBPS = 100.0
+HEALTHY_DISPATCH_MS = 10.0
+PROBE_BUDGET_S = 300.0
+
+
+def _probe_tunnel(jax, jnp, np, fence):
+    """One tunnel-health probe → (dispatch_ms, staging_MBps)."""
+    tiny = jax.jit(lambda x: x + 1)
+    td = jax.device_put(jnp.ones((8, 128)))
+    fence(tiny(td))
+    t0 = time.perf_counter()
+    o = None
+    for _ in range(10):
+        o = tiny(td)
+    fence(o)
+    dispatch_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    buf = np.ones((16, 1024, 1024), np.uint8)         # 16 MB staging probe
+    t0 = time.perf_counter()
+    fence(jax.device_put(buf))
+    staging_mbps = buf.nbytes / 1e6 / (time.perf_counter() - t0)
+    return dispatch_ms, staging_mbps
+
+
+def _wait_for_healthy_tunnel(jax, jnp, np, fence):
+    """Re-probe (bounded by PROBE_BUDGET_S) until the tunnel looks healthy;
+    returns (dispatch_ms, staging_MBps, degraded) of the best attempt seen.
+
+    The chip is reached through an RPC tunnel whose throughput varies wildly
+    between sessions; benchmarking through a degraded tunnel measures the
+    tunnel (BENCH_r01: c3/c4 at 8.7 MB/s staging). Gate, don't hope.
+    """
+    deadline = time.perf_counter() + PROBE_BUDGET_S
+    best = (float("inf"), 0.0)
+    while True:
+        d, s = _probe_tunnel(jax, jnp, np, fence)
+        if s > best[1] or (s == best[1] and d < best[0]):
+            best = (d, s)
+        if d <= HEALTHY_DISPATCH_MS and s >= HEALTHY_STAGING_MBPS:
+            return d, s, False
+        if time.perf_counter() >= deadline:
+            return best[0], best[1], True
+        time.sleep(15.0)
+
+
 def main() -> None:
     from camkifu_tpu.utils import jaxcache
     jaxcache.enable()
@@ -57,17 +109,10 @@ def main() -> None:
 
     fence = lambda x: np.asarray(jax.tree.leaves(x)[0])
 
-    # Tunnel health: this environment reaches the chip via an RPC tunnel
-    # whose dispatch/transfer rates vary wildly; record them so the numbers
-    # below are interpretable (healthy ≈ low single-digit ms dispatch).
-    tiny = jax.jit(lambda x: x + 1)
-    td = jax.device_put(jnp.ones((8, 128)))
-    fence(tiny(td))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        o = tiny(td)
-    fence(o)
-    dispatch_ms = (time.perf_counter() - t0) / 10 * 1e3
+    # Tunnel health gate: wait (bounded) for a healthy tunnel before
+    # measuring; emit the probe numbers + a degraded flag either way.
+    dispatch_ms, staging_probe_mbps, degraded = _wait_for_healthy_tunnel(
+        jax, jnp, np, fence)
 
     labels = np.zeros((19, 19), np.int8)
     rng = np.random.default_rng(0)
@@ -86,9 +131,14 @@ def main() -> None:
     stage_s = time.perf_counter() - t0
     c1080 = jax.device_put(jnp.asarray(corners1080, jnp.float32))
 
-    # -- c2 (headline): batch stills, detect once + classify ----------------
-    c2_s = _timeit(lambda: pipeline.read_board_batch(f1080_b, c1080)[0],
-                   fence)
+    # -- c2 (headline): batch stills, detect + classify. Detection runs
+    # INSIDE the timed region (VERDICT r1: the metric name says "detect") at
+    # the fixed-camera cadence: one full board detection per batch, stone
+    # classification on every frame.
+    def c2():
+        cs, _ = bf_auto.detect_corners(f1080_b[0])
+        return pipeline.read_board_batch(f1080_b, cs)[0]
+    c2_s = _timeit(c2, fence)
     c2_fps = batch / c2_s
 
     # -- c1: single-still latency (detect + classify, one frame) ------------
@@ -107,11 +157,21 @@ def main() -> None:
                    fence)
     c3_fps = batch / c3_s
 
-    # -- c4: handheld — per-frame corners through the scan ------------------
-    cb = jax.device_put(jnp.broadcast_to(c1080, (batch, 4, 2)))
-    c4_s = _timeit(lambda: sf_meta.read_batch(state0, f1080_b, cb)[1],
-                   fence)
+    # -- c4: handheld — REAL per-frame board measurement in the timed
+    # region (VERDICT r1 item 3): full detection on the batch's first frame
+    # + per-frame corner tracking (every frame's corners measured from its
+    # own pixels) + the vote scan on the tracked (B, 4, 2) corners. The
+    # amortized full-redetect rate is reported alongside.
+    def c4():
+        seed, _ = bf_auto.detect_corners(f1080_b[0])
+        cs, _sharp, _ = bf_auto.track_corners_batch(f1080_b, seed)
+        return sf_meta.read_batch(state0, f1080_b, cs)[1]
+    c4_s = _timeit(c4, fence)
     c4_fps = batch / c4_s
+    # Honest full-redetection rate: every frame through detect_corners.
+    det_s = _timeit(lambda: bf_auto.detect_corners(f1080_b[0])[0], fence,
+                    reps=5)
+    c4_full_redetect_fps = 1.0 / det_s
 
     # -- c5: 8 concurrent 1080p streams on one chip (the multi-stream
     # flattening of parallel.mesh._read_all_streams) ------------------------
@@ -139,9 +199,12 @@ def main() -> None:
         "c2_fps": round(c2_fps, 1),
         "c3_video_fps": round(c3_fps, 1),
         "c4_handheld_fps": round(c4_fps, 1),
+        "c4_full_redetect_fps": round(c4_full_redetect_fps, 1),
         "c5_streams_fps": round(c5_fps, 1),
         "staging_MBps": round(batch * frame1080.nbytes / 1e6 / stage_s, 1),
+        "staging_probe_MBps": round(staging_probe_mbps, 1),
         "tunnel_dispatch_ms": round(dispatch_ms, 2),
+        "tunnel_degraded": degraded,
         "device": str(jax.devices()[0]),
     }))
 

@@ -73,6 +73,11 @@ class BoardFinder(VidProcessor):
             else guiconf.gsize
         self.corners = GobanCorners()
         self.mtx: np.ndarray | None = None   # canonical→frame homography
+        #: Per-frame corners (B, 4, 2) for the LAST processed batch, set by
+        #: finders that measure them (BoardFinderAuto tracking); stones
+        #: finders that accept a corner batch consume this instead of the
+        #: fixed estimate (BASELINE config 4 runtime path).
+        self.corners_batch: np.ndarray | None = None
         self._since_detect = 10 ** 9
 
     def ready(self) -> bool:
@@ -82,7 +87,9 @@ class BoardFinder(VidProcessor):
     def corners_array(self) -> np.ndarray | None:
         return self.corners.points
 
-    def _doframe(self, frames) -> None:
+    def _doframe(self, frames, n: int | None = None) -> None:
+        # Padded tail frames are copies of the last real one (capture.
+        # pad_batch), so detection may safely look at the whole batch.
         self._since_detect += 1
         if self.ready() and self._since_detect < cvconf.bf_period:
             return

@@ -108,8 +108,7 @@ classify_batch = jax.vmap(classify_canonical)
 # Host finder class (cvconf-registered; SURVEY §2.1 sf_contours).
 # ---------------------------------------------------------------------------
 
-from camkifu_tpu.ops.color import to_float  # noqa: E402
-from camkifu_tpu.ops.warp import warp_batch_fixed  # noqa: E402
+from camkifu_tpu.ops.warp import warp_batch_chunked, warp_batch_fixed  # noqa: E402
 from camkifu_tpu.stone.stonesfinder import StonesFinder as _SF  # noqa: E402
 
 
@@ -117,7 +116,11 @@ from camkifu_tpu.stone.stonesfinder import StonesFinder as _SF  # noqa: E402
 @functools.partial(jax.jit, static_argnames=("gsize",))
 def _read_batch_contours(fb, cs, gsize=guiconf.gsize):
     with jax.default_matmul_precision("float32"):
-        canon = warp_batch_fixed(to_float(fb), cs, gsize)
+        scale = 1.0 / 255.0 if fb.dtype == jnp.uint8 else 1.0
+        if cs.ndim == 3:                      # per-frame corners (tracking)
+            canon = warp_batch_chunked(fb, cs, gsize) * scale
+        else:
+            canon = warp_batch_fixed(fb, cs, gsize) * scale
         return jax.vmap(lambda c: classify_canonical(c, gsize))(canon)
 
 

@@ -17,8 +17,7 @@ import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
 from camkifu_tpu.models import neural
-from camkifu_tpu.ops.color import to_float
-from camkifu_tpu.ops.warp import warp_batch_fixed
+from camkifu_tpu.ops.warp import warp_batch_chunked, warp_batch_fixed
 from camkifu_tpu.ops.zones import extract_zones
 from camkifu_tpu.stone.stonesfinder import StonesFinder
 
@@ -27,9 +26,14 @@ from camkifu_tpu.stone.stonesfinder import StonesFinder
 def classify_batch_neural(params, frames, corners,
                           gsize: int = guiconf.gsize,
                           zone: int = cvconf.zone_size):
-    """(B, H, W, 3) uint8 + (4, 2) corners → (labels (B,g,g), conf)."""
+    """(B, H, W, 3) uint8 + (4, 2) or per-frame (B, 4, 2) corners →
+    (labels (B,g,g), conf)."""
     with jax.default_matmul_precision("float32"):
-        canon = warp_batch_fixed(to_float(frames), corners, gsize, zone)
+        scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
+        if corners.ndim == 3:
+            canon = warp_batch_chunked(frames, corners, gsize, zone) * scale
+        else:
+            canon = warp_batch_fixed(frames, corners, gsize, zone) * scale
     b = frames.shape[0]
     zones = jax.vmap(lambda c: extract_zones(c, gsize, zone))(canon)
     patches = zones.reshape(b * gsize * gsize, zone, zone, 3)

@@ -51,4 +51,10 @@ def zone_motion_gate(luma_small: jnp.ndarray, prev: jnp.ndarray,
     f = luma_small.shape[0] // gsize
     zone_motion = moving[:gsize * f, :gsize * f].reshape(
         gsize, f, gsize, f).mean(axis=(1, 3))
-    return (zone_motion <= zone_thresh).astype(jnp.float32), agitation
+    # Gate on motion EXCESS over the global median zone level: a hand is
+    # localized (the median is blind to it), while handheld-camera jitter —
+    # incl. the sub-pixel residual of tracked per-frame corners — raises
+    # every zone uniformly and must not starve the votes.
+    baseline = jnp.median(zone_motion)
+    calm = (zone_motion - baseline) <= zone_thresh
+    return calm.astype(jnp.float32), agitation
