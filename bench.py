@@ -56,7 +56,12 @@ PROBE_BUDGET_S = 300.0
 
 
 def _probe_tunnel(jax, jnp, np, fence):
-    """One tunnel-health probe → (dispatch_ms, staging_MBps)."""
+    """One tunnel-health probe → (dispatch_ms, staging_MBps).
+
+    The FIRST transfer of a session pays a 1–4 min handshake on a degraded
+    tunnel; callers must warm up (one small device_put) before trusting a
+    probe.
+    """
     tiny = jax.jit(lambda x: x + 1)
     td = jax.device_put(jnp.ones((8, 128)))
     fence(tiny(td))
@@ -82,6 +87,8 @@ def _wait_for_healthy_tunnel(jax, jnp, np, fence):
     between sessions; benchmarking through a degraded tunnel measures the
     tunnel (BENCH_r01: c3/c4 at 8.7 MB/s staging). Gate, don't hope.
     """
+    # Absorb the session's first-transfer handshake before timing anything.
+    fence(jax.device_put(np.ones((1024, 1024), np.uint8)))
     deadline = time.perf_counter() + PROBE_BUDGET_S
     best = (float("inf"), 0.0)
     while True:

@@ -143,8 +143,15 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
 
 
 def check(video_spec: str, ref_sgf: str | None, corners=None,
-          batch: int = cvconf.frame_batch, use_meta: bool = True) -> dict:
-    """Run the harness; return the score report dict."""
+          batch: int = cvconf.frame_batch, use_meta: bool = True,
+          oracle: str = "tpu") -> dict:
+    """Run the harness; return the score report dict.
+
+    oracle: "tpu" (the jitted pipeline), "cv2" (the independent host-side
+    OpenCV pipeline — oracle_cv2, VERDICT r1 item 4), or "both" (run both
+    and report TPU↔cv2 cross-agreement: the BASELINE north-star measurement
+    "move agreement vs the OpenCV reference").
+    """
     from camkifu_tpu.utils import synth
 
     if video_spec.startswith("synth:"):
@@ -175,24 +182,46 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
         # it commits (a recorded game holds each position for seconds); the
         # per-frame classifiers need no persistence.
         fpm = cvconf.vote_window + 3 if use_meta else 3
-        frames_iter = (f for f, _ in synth.render_game(
-            moves, frames_per_move=fpm, frame_hw=(720, 1280), seed=seed,
-            empty_leadin=6, **hard_kw))
+
+        def frames_factory():
+            return (f for f, _ in synth.render_game(
+                moves, frames_per_move=fpm, frame_hw=(720, 1280), seed=seed,
+                empty_leadin=6, **hard_kw))
         if corners is None and ref_sgf != "auto":
             corners = gt_corners
     else:
-        frames_iter = iter_video_frames(video_spec)
+        def frames_factory():
+            return iter_video_frames(video_spec)
         if ref_sgf is None:
             raise ValueError("a reference SGF is required for video input")
         ref_moves = Kifu.load(ref_sgf).moves()
 
-    extractor, stats = run_pipeline(frames_iter, corners, batch=batch,
-                                    use_meta=use_meta)
     checker = KifuChecker(ref_moves)
-    report = checker.report(extractor.moves)
-    report.update(stats)
-    report["rejected_readings"] = extractor.rejected
-    report["diff"] = checker.diff_lines(extractor.moves)[:20]
+    report: dict = {}
+    if oracle in ("tpu", "both"):
+        extractor, stats = run_pipeline(frames_factory(), corners,
+                                        batch=batch, use_meta=use_meta)
+        report = checker.report(extractor.moves)
+        report.update(stats)
+        report["rejected_readings"] = extractor.rejected
+        report["diff"] = checker.diff_lines(extractor.moves)[:20]
+    if oracle in ("cv2", "both"):
+        from camkifu_tpu import oracle_cv2
+        cv2_ex, cv2_stats = oracle_cv2.run_pipeline_cv2(
+            frames_factory(), corners)
+        cv2_rep = checker.report(cv2_ex.moves)
+        if oracle == "cv2":
+            report = cv2_rep
+            report.update(cv2_stats)
+            report["rejected_readings"] = cv2_ex.rejected
+            report["diff"] = checker.diff_lines(cv2_ex.moves)[:20]
+        else:
+            # The north-star cross-check: TPU moves vs the independent
+            # OpenCV pipeline's moves on the SAME frames.
+            cross = score_moves(extractor.moves, cv2_ex.moves)
+            report["cv2_agreement_vs_ref"] = cv2_rep["agreement"]
+            report["cv2_fps"] = round(cv2_stats["fps"], 1)
+            report["tpu_vs_cv2_agreement"] = cross["agreement"]
     return report
 
 
@@ -211,6 +240,11 @@ def main(argv=None) -> int:
                          "(tl,tr,br,bl) — manual board corners")
     ap.add_argument("--no-meta", action="store_true",
                     help="per-frame clustering only (no temporal votes)")
+    ap.add_argument("--oracle", choices=("tpu", "cv2", "both"),
+                    default="tpu",
+                    help="which pipeline to score: the TPU pipeline, the "
+                         "independent host-side OpenCV pipeline, or both "
+                         "(adds TPU-vs-cv2 cross-agreement)")
     args = ap.parse_args(argv)
 
     corners = None
@@ -219,7 +253,7 @@ def main(argv=None) -> int:
         corners = np.array(vals, np.float32).reshape(4, 2)
 
     report = check(args.video, args.sgf, corners=corners, batch=args.batch,
-                   use_meta=not args.no_meta)
+                   use_meta=not args.no_meta, oracle=args.oracle)
     print(json.dumps(report, indent=2, default=float))
     ok = report["agreement"] >= 0.99
     print(f"\n{'PASS' if ok else 'FAIL'}: {report['good']}/{report['ref_moves']} "

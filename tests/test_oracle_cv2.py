@@ -1,0 +1,57 @@
+"""Independent OpenCV oracle (VERDICT r1 item 4): the host-side classical
+pipeline must read synthetic games correctly on its own, and agree with the
+TPU pipeline — breaking the synth self-oracle circularity."""
+
+import numpy as np
+import pytest
+
+from camkifu_tpu import filecheck, oracle_cv2
+from camkifu_tpu.utils import synth
+
+
+def _board(n_stones, seed=0):
+    labels = np.zeros((19, 19), np.int8)
+    if n_stones:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(361, n_stones, replace=False)
+        labels.flat[idx[:n_stones // 2]] = 1
+        labels.flat[idx[n_stones // 2:]] = 2
+    return labels
+
+
+@pytest.mark.parametrize("n_stones", [0, 20, 100])
+def test_cv2_corner_detection(n_stones):
+    labels = _board(n_stones)
+    frame, gt = synth.render_frame(labels, frame_hw=(720, 1280))
+    c = oracle_cv2.detect_corners_cv2(frame)
+    assert c is not None
+    cell = np.linalg.norm(gt[1] - gt[0]) / 18
+    assert np.abs(c - gt).max() < 0.15 * cell
+
+
+@pytest.mark.parametrize("n_stones", [40, 120, 240])
+def test_cv2_classifier_exact(n_stones):
+    labels = _board(n_stones, seed=3)
+    frame, gt = synth.render_frame(labels, frame_hw=(720, 1280))
+    board = oracle_cv2.classify_frame_cv2(frame, gt)
+    assert (board == labels).all()
+
+
+def test_cv2_classifier_abstains_on_empty_board():
+    frame, gt = synth.render_frame(np.zeros((19, 19), np.int8),
+                                   frame_hw=(720, 1280))
+    assert (oracle_cv2.classify_frame_cv2(frame, gt) == 0).all()
+
+
+def test_filecheck_oracle_cv2_full_game():
+    rep = filecheck.check("synth:6:3", None, oracle="cv2")
+    assert rep["agreement"] == 1.0, rep
+
+
+def test_filecheck_cross_agreement_tpu_vs_cv2():
+    """The north-star measurement (BASELINE.md): TPU pipeline vs the OpenCV
+    reference pipeline on the same frames, both detecting their own board."""
+    rep = filecheck.check("synth:6:3", "auto", oracle="both")
+    assert rep["agreement"] == 1.0, rep           # TPU vs ground truth
+    assert rep["cv2_agreement_vs_ref"] == 1.0     # cv2 vs ground truth
+    assert rep["tpu_vs_cv2_agreement"] == 1.0     # TPU vs cv2
