@@ -90,10 +90,8 @@ def main_headless(args, bf_class, sf_class, corners) -> int:
         lambda ev, *a: errors.append(str(a)) if ev == "error" else None)
     vm = VManagerSeq(controller, video=args.video, bounds=tuple(args.bounds),
                      bf_class=bf_class, sf_class=sf_class, batch=args.batch,
-                     stats_path=args.stats)
+                     stats_path=args.stats, initial_corners=corners)
     vm.instantiate_finders()
-    if corners is not None:
-        vm.board_finder.set_corners(corners)
     vm.run()
     moves = controller.kifu.moves()
     print(f"detected {len(moves)} moves "
@@ -128,11 +126,8 @@ def main_gui(args, bf_class, sf_class, corners) -> int:
     vmanager = VManager(controller, video=args.video,
                         bounds=tuple(args.bounds), bf_class=bf_class,
                         sf_class=sf_class, batch=args.batch,
-                        stats_path=args.stats)
+                        stats_path=args.stats, initial_corners=corners)
     ui = VUI(root, controller, vmanager)
-    if corners is not None:
-        vmanager.instantiate_finders()
-        vmanager.board_finder.set_corners(corners)
     vmanager.vision_on()
     ui.mainloop()
     vmanager.vision_off()

@@ -27,7 +27,8 @@ class VManagerBase:
     def __init__(self, controller, video=0, bounds=(0.0, 1.0),
                  bf_class=None, sf_class=None,
                  batch: int = cvconf.frame_batch,
-                 stats_path: str | None = None):
+                 stats_path: str | None = None,
+                 initial_corners=None):
         self.controller = controller
         self.video = video
         self.bounds = bounds
@@ -37,6 +38,13 @@ class VManagerBase:
         self.capture = None
         self.board_finder = None
         self.stones_finder = None
+        #: Corners to apply to every (re-)instantiated board finder (e.g.
+        #: ckmain --corners). Finder instances are rebuilt on vision_on and
+        #: hot-swap, so the corners must live on the manager, not be poked
+        #: onto one instance (which used to survive only through
+        #: bf_manual's per-video disk persistence).
+        self.initial_corners = None if initial_corners is None \
+            else np.asarray(initial_corners, np.float32)
         self._bf_class = bf_class or cvconf.bfinders()[0]
         self._sf_class = sf_class or cvconf.sfinders()[0]
         if controller is not None:
@@ -52,6 +60,9 @@ class VManagerBase:
     def instantiate_finders(self) -> None:
         self.board_finder = self._bf_class(self)
         self.stones_finder = self._sf_class(self)
+        if self.initial_corners is not None \
+                and hasattr(self.board_finder, "set_corners"):
+            self.board_finder.set_corners(self.initial_corners)
         if self.controller is not None:
             self.controller.stones_finder = self.stones_finder
             self.controller.board_finder = self.board_finder

@@ -91,6 +91,7 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
                  gsize: int = guiconf.gsize,
                  extractor: MoveExtractor | None = None,
                  use_meta: bool = True,
+                 use_neural: bool = True,
                  progress=None):
     """Drive the jitted pipeline over all frames; return (extractor, stats).
 
@@ -121,12 +122,15 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
             if state is None:
                 state = sf_meta.init_state(gsize=gsize)
                 # Same opt-in neural voter as the SfMeta runtime host: the
-                # bundled (or user-trained) checkpoint joins the ensemble.
-                try:
-                    from camkifu_tpu.models import neural
-                    neural_params = neural.load_params()
-                except Exception:
-                    neural_params = None
+                # bundled (or user-trained) checkpoint joins the ensemble
+                # (--no-neural ablates it).
+                neural_params = None
+                if use_neural:
+                    try:
+                        from camkifu_tpu.models import neural
+                        neural_params = neural.load_params()
+                    except Exception:
+                        neural_params = None
             state, labels, conf, _agit = sf_meta.read_batch(
                 state, fb, corners_dev, neural_params=neural_params)
         else:
@@ -144,7 +148,7 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
 
 def check(video_spec: str, ref_sgf: str | None, corners=None,
           batch: int = cvconf.frame_batch, use_meta: bool = True,
-          oracle: str = "tpu") -> dict:
+          use_neural: bool = True, oracle: str = "tpu") -> dict:
     """Run the harness; return the score report dict.
 
     oracle: "tpu" (the jitted pipeline), "cv2" (the independent host-side
@@ -200,7 +204,8 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
     report: dict = {}
     if oracle in ("tpu", "both"):
         extractor, stats = run_pipeline(frames_factory(), corners,
-                                        batch=batch, use_meta=use_meta)
+                                        batch=batch, use_meta=use_meta,
+                                        use_neural=use_neural)
         report = checker.report(extractor.moves)
         report.update(stats)
         report["rejected_readings"] = extractor.rejected
@@ -240,6 +245,9 @@ def main(argv=None) -> int:
                          "(tl,tr,br,bl) — manual board corners")
     ap.add_argument("--no-meta", action="store_true",
                     help="per-frame clustering only (no temporal votes)")
+    ap.add_argument("--no-neural", action="store_true",
+                    help="ablate the bundled neural voter (classical "
+                         "ensemble only)")
     ap.add_argument("--oracle", choices=("tpu", "cv2", "both"),
                     default="tpu",
                     help="which pipeline to score: the TPU pipeline, the "
@@ -253,7 +261,8 @@ def main(argv=None) -> int:
         corners = np.array(vals, np.float32).reshape(4, 2)
 
     report = check(args.video, args.sgf, corners=corners, batch=args.batch,
-                   use_meta=not args.no_meta, oracle=args.oracle)
+                   use_meta=not args.no_meta, use_neural=not args.no_neural,
+                   oracle=args.oracle)
     print(json.dumps(report, indent=2, default=float))
     ok = report["agreement"] >= 0.99
     print(f"\n{'PASS' if ok else 'FAIL'}: {report['good']}/{report['ref_moves']} "

@@ -260,3 +260,62 @@ def test_pad_batch():
     assert n2 == 3 and same.shape == (3, 2, 2, 3)
     empty, n3 = pad_batch(np.zeros((0, 1, 1, 3), np.uint8), 4)
     assert n3 == 0
+
+
+def test_goban_drag_relocate_logic():
+    """Drag-to-relocate (SURVEY §0.5 'add/move/delete stones'): the gesture
+    decision is pure logic; the controller relocate + corrected() feedback
+    run headless (the canvas only feeds coordinates)."""
+    from camkifu_tpu.gui.goban import resolve_press_release
+
+    controller = ControllerVSeq()
+    controller.pipe("append", Move("np", (B, 3, 3)))
+    controller.pipe("append", Move("np", (W, 9, 9)))
+    stones = controller.stones()
+
+    # Gesture decisions.
+    assert resolve_press_release(stones, (5, 5), (5, 5), 19) == ("put", 5, 5)
+    assert resolve_press_release(stones, (3, 3), (3, 3), 19) == (None,)
+    assert resolve_press_release(stones, (3, 3), (9, 9), 19) == (None,)
+    act = resolve_press_release(stones, (3, 3), (4, 7), 19)
+    assert act == ("relocate", (3, 3), (4, 7), "B")
+
+    # The relocate path through the controller + vision feedback.
+    corrections = []
+    controller.stones_finder = type(
+        "SF", (), {"corrected": lambda self, e, x: corrections.append((e, x))
+                   })()
+    err = Move("np", (B, 3, 3))
+    exp = Move("np", (B, 4, 7))
+    controller.relocate(err, exp)
+    controller.corrected(err, exp)
+    stones = controller.stones()
+    assert stones[3, 3] == 0 and stones[4, 7] == 1
+    assert corrections == [(err, exp)]
+    # The kifu recorded the relocation (move 1 now at the new point).
+    assert controller.kifu.moves()[0] == exp
+
+
+def test_initial_corners_survive_finder_reinstantiation(monkeypatch):
+    """ckmain --corners used to poke corners onto a finder instance that
+    vision_on/hot-swap immediately discarded (surviving only through
+    bf_manual's disk store). They now live on the manager and re-apply on
+    every instantiation — with persistence disabled to prove it."""
+    import camkifu_tpu.board.bf_manual as bfm
+
+    monkeypatch.setattr(bfm, "_load_store", lambda: {})
+    monkeypatch.setattr(bfm, "_save_store", lambda store: None)
+
+    moves, frames, corners = make_game(n_moves=2)
+    controller = ControllerVSeq()
+    vm = VManagerSeq(controller, video="somevideo.mp4",
+                     bf_class=BoardFinderManual, sf_class=SfClustering,
+                     batch=8, initial_corners=corners)
+    vm.capture = ArrayCapture(frames)
+    vm.instantiate_finders()
+    assert vm.board_finder.ready()
+    vm.instantiate_finders()          # hot-swap / vision_on re-instantiation
+    assert vm.board_finder.ready()
+    assert np.allclose(vm.board_finder.corners_array, corners, atol=1e-3)
+    vm.run()
+    assert len(controller.kifu) == 2
