@@ -171,8 +171,7 @@ def main() -> None:
     # amortized full-redetect rate is reported alongside.
     def c4():
         seed, _ = bf_auto.detect_corners(f1080_b[0])
-        cs, _sharp, _ = bf_auto.track_corners_batch(f1080_b, seed)
-        return sf_meta.read_batch(state0, f1080_b, cs)[1]
+        return sf_meta.track_read_batch(state0, f1080_b, seed)[1]
     c4_s = _timeit(c4, fence)
     c4_fps = batch / c4_s
     # Honest full-redetection rate: every frame through detect_corners.

@@ -37,7 +37,8 @@ from camkifu_tpu.ops.color import rgb_to_gray, rgb_to_gray_u8, to_float
 from camkifu_tpu.ops.edges import edge_map
 from camkifu_tpu.ops.filters import sobel
 from camkifu_tpu.ops.hough import hough_accumulate, topk_edge_points
-from camkifu_tpu.ops.warp import apply_homography, bilinear_sample, homography_dlt
+from camkifu_tpu.ops.warp import (apply_homography, bilinear_sample,
+                                  homography_dlt, _subpixel_shift)
 
 #: Angular half-window (radians) around a family's dominant θ.
 FAMILY_WINDOW = np.pi / 8
@@ -376,7 +377,9 @@ def _profiles_of(rect: jnp.ndarray, gsize: int):
     # (stones sit centered on intersections — on near-full boards stone
     # *edges* peak half a cell off-line in the gradient profile, but stone
     # *bodies* peak on it in the deviation profile).
-    wood = jnp.median(rect)
+    # Median of a 4×-subsampled view: same wood-level robustness, 1/16th
+    # of the sort (this runs per frame in the tracking path).
+    wood = jnp.median(rect[::4, ::4])
     dev = jnp.abs(rect - wood)
     col_profile = prep(jnp.abs(gx)[interior, :].mean(axis=0)) \
         + prep(dev[interior, :].mean(axis=0))
@@ -619,6 +622,43 @@ def _profile_shift(profile: jnp.ndarray, delta) -> jnp.ndarray:
                          jnp.arange(n, dtype=jnp.float32) + delta)
 
 
+def _corr_shift(profiles: jnp.ndarray, ref: jnp.ndarray, S: int):
+    """(B, n) profiles × (n,) reference → per-frame sub-pixel translation +
+    correlation-peak sharpness, via one (B, n)×(n, 2S+1) matmul.
+
+    corr[s] pairs p[i] with ref[i + s − S]: a peak at s means the profile
+    is the reference translated RIGHT by d = S − s.
+    """
+    n = profiles.shape[-1]
+    n_sh = 2 * S + 1
+    refp = jnp.pad(ref, (S, S))
+    shifted = jnp.stack([jax.lax.dynamic_slice(refp, (s,), (n,))
+                         for s in range(n_sh)])             # (2S+1, n)
+    corr = profiles @ shifted.T                             # (B, 2S+1)
+    best = jnp.argmax(corr, axis=1)
+    c0 = jnp.take_along_axis(corr, best[:, None], 1)[:, 0]
+    cm = jnp.take_along_axis(
+        corr, jnp.clip(best - 1, 0, n_sh - 1)[:, None], 1)[:, 0]
+    cp = jnp.take_along_axis(
+        corr, jnp.clip(best + 1, 0, n_sh - 1)[:, None], 1)[:, 0]
+    den = cm - 2 * c0 + cp
+    sub = jnp.where(jnp.abs(den) > 1e-9,
+                    jnp.clip(0.5 * (cm - cp) / den, -1, 1), 0.0)
+    d = S - (best.astype(jnp.float32) + sub)
+    sharp = c0 / jnp.maximum(corr.mean(axis=1), 1e-6)
+    return d, sharp
+
+
+def _hold_bad(d: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    """Replace rejected per-frame measurements with the last good one."""
+    def hold(carry, x):
+        v, good = x
+        v = jnp.where(good, v, carry)
+        return v, v
+    _, out = jax.lax.scan(hold, jnp.float32(0), (d, ok))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("gsize", "chunk", "res"))
 def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
                         gsize: int = 19, chunk: int = 8,
@@ -652,37 +692,10 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
         k = gray.shape[0] // chunk
         gc = gray.reshape((k, chunk) + gray.shape[1:])
 
-        # Where the seed quad lands in comb coordinates — exactly, by
-        # construction of the margin-expanded rectification. Static.
+        # Correlation search window, in rect px (static).
         m = TRACK_MARGIN
-        o0 = (res - 1.0) * m / (2.0 * (1.0 + m))
         s0 = (res - 1.0) / ((1.0 + m) * (gsize - 1))
-        span = gsize - 1.0
         S = max(2, int(round(TRACK_WIN_OFFSET * s0)))
-        n_sh = 2 * S + 1
-
-        def corr_shift(profiles, ref):
-            """(chunk, n) profiles × (n,) reference → per-frame sub-pixel
-            shift + peak sharpness, via one (chunk, n)×(n, 2S+1) matmul."""
-            refp = jnp.pad(ref, (S, S))
-            # (2S+1, n) stack of statically-shifted references.
-            shifted = jnp.stack([jax.lax.dynamic_slice(refp, (s,), (res,))
-                                 for s in range(n_sh)])
-            corr = profiles @ shifted.T                       # (chunk, 2S+1)
-            best = jnp.argmax(corr, axis=1)
-            c0 = jnp.take_along_axis(corr, best[:, None], 1)[:, 0]
-            cm = jnp.take_along_axis(
-                corr, jnp.clip(best - 1, 0, n_sh - 1)[:, None], 1)[:, 0]
-            cp = jnp.take_along_axis(
-                corr, jnp.clip(best + 1, 0, n_sh - 1)[:, None], 1)[:, 0]
-            den = cm - 2 * c0 + cp
-            sub = jnp.where(jnp.abs(den) > 1e-9,
-                            jnp.clip(0.5 * (cm - cp) / den, -1, 1), 0.0)
-            # corr[s] pairs p[i] with ref[i + s − S]: a peak at s means the
-            # profile is the reference translated RIGHT by d = S − s.
-            d = S - (best.astype(jnp.float32) + sub)
-            sharp = c0 / jnp.maximum(corr.mean(axis=1), 1e-6)
-            return d, sharp
 
         from camkifu_tpu.ops.warp import _inv3
 
@@ -699,17 +712,13 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             # seed detection ran on/near it, so its lattice sits at rc_seed).
             ref_col = jnp.where(ref_ok, ref_col, cols[0])
             ref_row = jnp.where(ref_ok, ref_row, rows[0])
-            dx, sh_x = corr_shift(cols, ref_col)
-            dy, sh_y = corr_shift(rows, ref_row)
+            dx, sh_x = _corr_shift(cols, ref_col, S)
+            dy, sh_y = _corr_shift(rows, ref_row, S)
             sharp = jnp.minimum(sh_x, sh_y)
             ok = sharp >= TRACK_MIN_SHARPNESS
             # Reject low-sharpness frames: hold the last good offset.
-            def hold(carry_d, x):
-                d, good = x
-                d = jnp.where(good, d, carry_d)
-                return d, d
-            _, dx = jax.lax.scan(hold, jnp.float32(0), (dx, ok))
-            _, dy = jax.lax.scan(hold, jnp.float32(0), (dy, ok))
+            dx = _hold_bad(dx, ok)
+            dy = _hold_bad(dy, ok)
 
             d = jnp.stack([dx, dy], axis=-1)                  # (chunk, 2)
             rcs = rc_seed[None, :, :] + d[:, None, :]
@@ -748,6 +757,115 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
         return cs, sharp, new_seed
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("gsize", "zone", "chunk", "pad_cells"))
+def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
+                        gsize: int = 19, zone: int = 16, chunk: int = 8,
+                        pad_cells: int = 1):
+    """FUSED canonical rectification + per-frame board tracking.
+
+    One chunk-shared gather per frame (the warp_batch_chunked trick) warps
+    each frame to an EXPANDED canonical canvas whose anchors put the seed's
+    corner intersections at STATIC positions; lattice-profile correlation
+    against a drift-realigned reference then measures each frame's (dx, dy)
+    from its own pixels, and the canonical image is cropped at the measured
+    integer offset + sub-pixel-shifted by the fraction. Compared to running
+    track_corners_batch AND warp_batch_chunked, this does ONE big gather
+    instead of two, and the drift correction comes from measured pixels
+    rather than the (possibly stale) corner inputs. Rotation/perspective
+    drift is re-anchored by periodic full detection (bf_period).
+
+    frames: (B, H, W, 3); seed_corners: (4, 2) from detect_corners.
+    Returns (canon (B, S, S, 3) float [0,1] with S = gsize·zone,
+             corners (B, 4, 2) frame-space, sharpness (B,), new_seed (4, 2)).
+    """
+    with jax.default_matmul_precision("float32"):
+        b = frames.shape[0]
+        scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
+        padb = (-b) % chunk
+        if padb:
+            frames = jnp.concatenate(
+                [frames, frames[-1:].repeat(padb, axis=0)])
+        k = frames.shape[0] // chunk
+        fc = frames.reshape((k, chunk) + frames.shape[1:])
+
+        size = gsize * zone                      # canonical side (304)
+        pad = pad_cells * zone                   # drift margin (16)
+        E = size + 2 * pad                       # expanded canvas (336)
+        lo = pad + zone / 2.0 - 0.5
+        hi = pad + size - zone / 2.0 - 0.5
+        anchors = jnp.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi]],
+                            jnp.float32)
+        # Correlation window must stay under one cell (the lattice is
+        # periodic) and inside the crop margin.
+        S = min(pad - 2, int(round(TRACK_WIN_OFFSET * zone)))
+        us = jnp.arange(E, dtype=jnp.float32)
+        uu, vv = jnp.meshgrid(us, us, indexing="xy")
+        grid = jnp.stack([uu, vv], axis=-1)
+
+        def body(carry, frames_chunk):
+            seed, ref_col, ref_row, ref_ok = carry
+            H = homography_dlt(anchors, seed)
+            src = apply_homography(H, grid)
+            rect = jax.vmap(lambda f: bilinear_sample(
+                f, src[..., 0], src[..., 1]))(frames_chunk) * scale
+            luma = jnp.tensordot(
+                rect, jnp.asarray([0.299, 0.587, 0.114], jnp.float32),
+                axes=([-1], [0]))                           # (chunk, E, E)
+            cols, rows = jax.vmap(lambda r: _profiles_of(r, gsize))(luma)
+            ref_col = jnp.where(ref_ok, ref_col, cols[0])
+            ref_row = jnp.where(ref_ok, ref_row, rows[0])
+            dx, sh_x = _corr_shift(cols, ref_col, S)
+            dy, sh_y = _corr_shift(rows, ref_row, S)
+            sharp = jnp.minimum(sh_x, sh_y)
+            okf = sharp >= TRACK_MIN_SHARPNESS
+            dx = _hold_bad(dx, okf)
+            dy = _hold_bad(dy, okf)
+
+            # Canonical crop at the integer offset (per-frame dynamic slice,
+            # sequential over the chunk — tiny DMAs, no batched gather),
+            # then sub-pixel shift by the fractional remainder.
+            ix = jnp.clip(jnp.round(dx), -(pad - 1), pad - 1)
+            iy = jnp.clip(jnp.round(dy), -(pad - 1), pad - 1)
+            fx = dx - ix
+            fy = dy - iy
+
+            def crop(_, x):
+                r, ix_i, iy_i, fx_i, fy_i = x
+                c = jax.lax.dynamic_slice(
+                    r, (pad + iy_i.astype(jnp.int32),
+                        pad + ix_i.astype(jnp.int32), 0),
+                    (size, size, rect.shape[-1]))
+                return None, _subpixel_shift(c, jnp.stack([fx_i, fy_i]))
+
+            _, canon = jax.lax.scan(crop, None, (rect, ix, iy, fx, fy))
+
+            d = jnp.stack([dx, dy], axis=-1)                # (chunk, 2)
+            cs = jax.vmap(lambda dd: apply_homography(
+                H, anchors + dd[None, :]))(d)
+            # Next chunk re-anchors at the last frame's corners: its lattice
+            # lands back at `anchors` (exact, by DLT construction), so the
+            # old reference needs no shift and the last profile realigns by
+            # its own d.
+            new_seed = cs[-1]
+            new_ref_col = (1 - TRACK_REF_EMA) * ref_col \
+                + TRACK_REF_EMA * _profile_shift(cols[-1], dx[-1])
+            new_ref_row = (1 - TRACK_REF_EMA) * ref_row \
+                + TRACK_REF_EMA * _profile_shift(rows[-1], dy[-1])
+            return ((new_seed, new_ref_col, new_ref_row, jnp.bool_(True)),
+                    (canon, cs, sharp))
+
+        carry0 = (seed_corners.astype(jnp.float32),
+                  jnp.zeros((E,), jnp.float32),
+                  jnp.zeros((E,), jnp.float32), jnp.bool_(False))
+        _, (canon, cs, sharp) = jax.lax.scan(body, carry0, fc)
+        new_seed = cs[-1, -1]
+        canon = canon.reshape((k * chunk,) + canon.shape[2:])[:b]
+        cs = cs.reshape(k * chunk, 4, 2)[:b]
+        sharp = sharp.reshape(k * chunk)[:b]
+        return canon, cs, sharp, new_seed
+
+
 # ---------------------------------------------------------------------------
 # Host finder class (the cvconf-registered algorithm; SURVEY §2.1 bf_auto).
 # ---------------------------------------------------------------------------
@@ -773,7 +891,7 @@ class BoardFinderAuto(BoardFinder):
     def __init__(self, vmanager):
         super().__init__(vmanager)
         self._estimate: np.ndarray | None = None
-        self._track_seed = None            # device (4, 2), batch-fresh
+        self.track_seed = None             # device (4, 2), batch-fresh
 
     def _doframe(self, frames, n: int | None = None) -> None:
         import jax.numpy as jnp
@@ -781,28 +899,38 @@ class BoardFinderAuto(BoardFinder):
         super()._doframe(frames, n)        # periodic _detect + publish
         if not self.ready():
             self.corners_batch = None
+            self.track_seed = None
             return
-        seed = self._track_seed
-        if seed is not None and self._since_detect == 0:
+        if self.track_seed is not None and self._since_detect == 0:
             # A fresh full detection just ran: re-anchor the tracker if it
             # drifted (rotation/scale are invisible to translation tracking).
             est = np.asarray(self.corners_array)
             cell = np.linalg.norm(est[1] - est[0]) / (self.gsize - 1)
-            if np.abs(np.asarray(seed) - est).max() > 1.0 * cell:
-                seed = None
-        if seed is None:
-            seed = jnp.asarray(self.corners_array, jnp.float32)
+            if np.abs(np.asarray(self.track_seed) - est).max() > 1.0 * cell:
+                self.track_seed = None
+        if self.track_seed is None:
+            self.track_seed = jnp.asarray(self.corners_array, jnp.float32)
+        sf = getattr(self.vmanager, "stones_finder", None)
+        if getattr(sf, "fused_tracking", False):
+            # The stones finder tracks inside its fused rectify+classify
+            # pass and reports back through report_tracking.
+            return
         cs, sharp, new_seed = track_corners_batch(
-            jnp.asarray(frames), seed, gsize=self.gsize)
-        sharp = np.asarray(sharp)
-        self.corners_batch = np.asarray(cs)
-        self._track_seed = new_seed
-        self.metadata["track_sharpness"] = round(float(sharp.mean()), 2)
-        if (sharp < TRACK_MIN_SHARPNESS).mean() > 0.5:
-            # Tracking lost (bump/occlusion): force a fresh detection on the
-            # next batch and stop publishing per-frame corners.
+            jnp.asarray(frames), self.track_seed, gsize=self.gsize)
+        self.report_tracking(np.asarray(cs), new_seed,
+                             float(np.asarray(sharp).mean()))
+
+    def report_tracking(self, corners_batch: np.ndarray, new_seed,
+                        mean_sharp: float) -> None:
+        """Adopt a batch's per-frame tracking result (own or the fused
+        stones-finder pass). Sharpness collapse = tracking lost (bump or
+        occlusion): force a full re-detection on the next batch."""
+        self.corners_batch = corners_batch
+        self.track_seed = new_seed
+        self.metadata["track_sharpness"] = round(mean_sharp, 2)
+        if mean_sharp < TRACK_MIN_SHARPNESS:
             self._since_detect = 10 ** 9
-            self._track_seed = None
+            self.track_seed = None
             self.corners_batch = None
 
     def _detect(self, frames) -> bool:

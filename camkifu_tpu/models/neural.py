@@ -159,11 +159,23 @@ def save_params(params, path: str = DEFAULT_CKPT) -> None:
     ckptr.wait_until_finished()
 
 
-def load_params(path: str = DEFAULT_CKPT):
+def load_params(path: str = DEFAULT_CKPT, include_bundled: bool | None = None):
+    """Load the neural classifier weights, or None if none apply.
+
+    A user-trained DEFAULT_CKPT always loads. The BUNDLED checkpoint joins
+    only on request (``include_bundled=True`` or env CAMKIFU_NEURAL=1): the
+    r2 ablation sweep (PERF.md) showed the classical ensemble already
+    saturates every synthetic config — 20/20 with and without the voter —
+    so the bundled net must not silently change (and slow) every run; it
+    remains available for real-footage conditions the classical stack may
+    not cover.
+    """
     import orbax.checkpoint as ocp
 
+    if include_bundled is None:
+        include_bundled = os.environ.get("CAMKIFU_NEURAL", "0") == "1"
     path = os.path.abspath(os.path.expanduser(path))
-    if not os.path.isdir(path) and path == os.path.abspath(
+    if not os.path.isdir(path) and include_bundled and path == os.path.abspath(
             os.path.expanduser(DEFAULT_CKPT)):
         path = BUNDLED_CKPT                    # packaged fallback
     if not os.path.isdir(path):

@@ -95,7 +95,15 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
             canon = jax.vmap(
                 lambda f: warp_to_canonical(f, corners, gsize, zone) * scale)(
                     frames)
+        return _scan_canonical(state, canon, gsize, zone, neural_params)
 
+
+def _scan_canonical(state: MetaState, canon: jnp.ndarray, gsize: int,
+                    zone: int, neural_params=None):
+    """Classifiers + temporal vote scan over precomputed canonical frames
+    (B, S, S, 3) float [0,1]. Shared by read_batch (which warps first) and
+    track_read_batch (whose canonical comes from the fused tracker)."""
+    with jax.default_matmul_precision("float32"):
         luma_small = jax.vmap(
             lambda c: background.downsample_luma(rgb_to_gray(c), BG_FACTOR))(
                 canon)                                     # (B, s, s)
@@ -183,8 +191,31 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
              zone_calm, agitation, region_agree, luma_small))
         new_state = MetaState(
             votes=votes, stable=stable, bg=bg, prev=luma_small[-1],
-            trust=trust, frame_count=state.frame_count + frames.shape[0])
+            trust=trust, frame_count=state.frame_count + canon.shape[0])
         return new_state, labels, conf, agitation
+
+
+@functools.partial(jax.jit, static_argnames=("gsize", "zone", "chunk"))
+def track_read_batch(state: MetaState, frames: jnp.ndarray,
+                     seed_corners: jnp.ndarray,
+                     gsize: int = guiconf.gsize,
+                     zone: int = cvconf.zone_size,
+                     chunk: int = 8, neural_params=None):
+    """Config-4 engine: fused per-frame board tracking + rectification +
+    classification + vote scan in ONE jit region.
+
+    frames: (B, H, W, 3); seed_corners: (4, 2) from a full detection (the
+    host re-detects at bf_period cadence and re-anchors the seed).
+    Returns (state, labels, conf, agitation, corners (B, 4, 2),
+    sharpness (B,), new_seed (4, 2)).
+    """
+    from camkifu_tpu.board.bf_auto import rectify_track_batch
+
+    canon, corners, sharp, new_seed = rectify_track_batch(
+        frames, seed_corners, gsize=gsize, zone=zone, chunk=chunk)
+    new_state, labels, conf, agitation = _scan_canonical(
+        state, canon, gsize, zone, neural_params)
+    return new_state, labels, conf, agitation, corners, sharp, new_seed
 
 
 # -- host-side state surgery (human-correction feedback; SURVEY §3.4) --------
@@ -221,6 +252,11 @@ class SfMeta(_SF):
 
     label = "meta"
 
+    #: BoardFinderAuto skips its separate tracking pass for this finder:
+    #: tracking runs fused with rectification+classification here
+    #: (track_read_batch — one gather instead of two per frame).
+    fused_tracking = True
+
     def __init__(self, vmanager):
         super().__init__(vmanager)
         self.state = init_state(gsize=self.gsize)
@@ -240,6 +276,27 @@ class SfMeta(_SF):
                 self.state = set_stable(self.state, board)
                 self._resync()
 
+    def _doframe(self, frames, n=None) -> None:
+        """Use the fused track+rectify+classify+scan pass when the board
+        finder maintains a tracking seed (BoardFinderAuto); otherwise the
+        classic path (fixed/manual corners) via the base class."""
+        import numpy as _np
+
+        bf = getattr(self.vmanager, "board_finder", None)
+        seed = getattr(bf, "track_seed", None)
+        if seed is None:
+            return super()._doframe(frames, n)
+        import jax.numpy as jnp
+
+        (self.state, labels, conf, agitation, corners, sharp,
+         new_seed) = track_read_batch(
+            self.state, jnp.asarray(frames), seed, gsize=self.gsize,
+            neural_params=self.neural_params)
+        bf.report_tracking(_np.asarray(corners), new_seed,
+                           float(_np.asarray(sharp).mean()))
+        self._report(agitation)
+        self._consume(labels, n)
+
     def _find(self, frames, corners):
         import jax.numpy as jnp
 
@@ -247,11 +304,16 @@ class SfMeta(_SF):
             self.state, jnp.asarray(frames),
             jnp.asarray(corners, jnp.float32), gsize=self.gsize,
             neural_params=self.neural_params)
+        self._report(agitation)
+        return labels, conf
+
+    def _report(self, agitation) -> None:
         import numpy as _np
-        self.metadata["agitation"] = round(float(_np.asarray(agitation).mean()), 4)
+
+        self.metadata["agitation"] = round(
+            float(_np.asarray(agitation).mean()), 4)
         trust = _np.asarray(self.state.trust)
         self.metadata["regions_promoted"] = int((trust >= TRUST_PROMOTE).sum())
-        return labels, conf
 
     def _invalidate(self, positions) -> None:
         self.state = reset_votes(self.state, positions)

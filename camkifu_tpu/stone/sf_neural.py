@@ -46,8 +46,11 @@ def classify_batch_neural(params, frames, corners,
 
 
 def get_or_train_params(log=None, quick: bool = False):
-    """Load the checkpoint, or bootstrap-train on synthetic boards."""
-    params = neural.load_params()
+    """Load the checkpoint, or bootstrap-train on synthetic boards.
+
+    The bundled checkpoint counts here: choosing the 'neural' finder is an
+    explicit request for the net (unlike SfMeta's opt-in third voter)."""
+    params = neural.load_params(include_bundled=True)
     if params is not None:
         return params
     n_boards = 8 if quick else 48

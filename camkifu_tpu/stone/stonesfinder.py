@@ -114,6 +114,10 @@ class StonesFinder(VidProcessor):
             self.metadata["status"] = "waiting for board"
             return
         labels, conf = self._find(frames, corners)
+        self._consume(labels, n)
+
+    def _consume(self, labels, n: int | None) -> None:
+        """Diff per-frame readings into moves (first n frames are real)."""
         labels = np.asarray(labels)
         n = labels.shape[0] if n is None else min(n, labels.shape[0])
         for i in range(n):

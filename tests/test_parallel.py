@@ -14,8 +14,9 @@ def test_dryrun_multichip_8_devices():
 def test_entry_compiles():
     import __graft_entry__
     fn, args = __graft_entry__.entry()
-    out = jax.jit(fn)(*args)
-    assert out.shape == (4, 19, 19)
+    labels, tracked = jax.jit(fn)(*args)
+    assert labels.shape == (4, 19, 19)
+    assert tracked.shape == (4, 19, 19)
 
 
 def test_multistream_correctness():
