@@ -38,6 +38,9 @@ def get_argparser() -> argparse.ArgumentParser:
                          " — implies the manual board finder")
     ap.add_argument("--batch", type=int, default=cvconf.frame_batch,
                     help="frames per device batch")
+    ap.add_argument("--decoders", type=int, default=1,
+                    help="host decode workers for video files (film mode); "
+                         ">1 enables segmented parallel decode")
     ap.add_argument("--nogui", action="store_true",
                     help="headless: process the whole video, save the SGF, exit")
     ap.add_argument("--gsize", type=int, default=None,
@@ -90,7 +93,8 @@ def main_headless(args, bf_class, sf_class, corners) -> int:
         lambda ev, *a: errors.append(str(a)) if ev == "error" else None)
     vm = VManagerSeq(controller, video=args.video, bounds=tuple(args.bounds),
                      bf_class=bf_class, sf_class=sf_class, batch=args.batch,
-                     stats_path=args.stats, initial_corners=corners)
+                     stats_path=args.stats, initial_corners=corners,
+                     decoders=args.decoders)
     vm.instantiate_finders()
     vm.run()
     moves = controller.kifu.moves()
@@ -126,7 +130,8 @@ def main_gui(args, bf_class, sf_class, corners) -> int:
     vmanager = VManager(controller, video=args.video,
                         bounds=tuple(args.bounds), bf_class=bf_class,
                         sf_class=sf_class, batch=args.batch,
-                        stats_path=args.stats, initial_corners=corners)
+                        stats_path=args.stats, initial_corners=corners,
+                        decoders=args.decoders)
     ui = VUI(root, controller, vmanager)
     vmanager.vision_on()
     ui.mainloop()

@@ -111,6 +111,139 @@ class FileCapture(CaptureBase):
         self.cap.release()
 
 
+class ParallelFileCapture(CaptureBase):
+    """Film mode with multi-worker decode.
+
+    Single-threaded cv2 decode tops out around ~130 fps for 720p H.264
+    (PERF.md), two orders of magnitude under the chip's classify rate — the
+    host decoder IS the film-mode bottleneck. N workers each own their own
+    cv2.VideoCapture on the same file and decode contiguous SEGMENTS
+    (seeked by frame index, which OpenCV resolves keyframe-accurately);
+    segments reassemble strictly in order with bounded lookahead, so the
+    output frame sequence is byte-identical to sequential decode.
+
+    Parity: the reference's film-mode capture discipline (every frame
+    exactly once, in order — SURVEY §2.4 row 2); the parallelism is the
+    TPU-era upgrade of its single VideoCapture.
+    """
+
+    def __init__(self, path: str, bounds: tuple[float, float] = (0.0, 1.0),
+                 workers: int = 4, segment: int = 32):
+        import cv2
+
+        self._cv2 = cv2
+        probe = cv2.VideoCapture(path)
+        if not probe.isOpened():
+            raise FileNotFoundError(f"cannot open video: {path}")
+        self.total = int(probe.get(cv2.CAP_PROP_FRAME_COUNT))
+        self._h = int(probe.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self._w = int(probe.get(cv2.CAP_PROP_FRAME_WIDTH))
+        probe.release()
+        self.path = path
+        self.bounds = bounds
+        self.segment = segment
+        self.workers = max(1, workers)
+        self.pos = 0                       # frames emitted so far
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._stop = threading.Event()
+        self._buf: list[np.ndarray] = []   # decoded, in-order, not yet read
+        self._start_pipeline(start_frame=0)
+
+    # -- worker pipeline ---------------------------------------------------
+
+    def _start_pipeline(self, start_frame: int) -> None:
+        self._results: dict[int, list[np.ndarray]] = {}
+        self._segments = list(range(start_frame, self.total, self.segment))
+        self._claim = 0                    # next segment index to claim
+        self._emit = 0                     # next segment index to emit
+        # Lookahead bound: pending segments cap the decode-ahead memory
+        # (workers+1 segments of `segment` frames).
+        self._max_pending = self.workers + 1
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True,
+                             name=f"decode-{i}")
+            for i in range(self.workers)]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self) -> None:
+        cv2 = self._cv2
+        cap = cv2.VideoCapture(self.path)
+        try:
+            while not self._stop.is_set():
+                with self._cond:
+                    # Backpressure: don't run ahead of the reader.
+                    while (self._claim - self._emit >= self._max_pending
+                           and not self._stop.is_set()):
+                        self._cond.wait(0.05)
+                    if self._stop.is_set() or \
+                            self._claim >= len(self._segments):
+                        return
+                    seg = self._claim
+                    self._claim += 1
+                start = self._segments[seg]
+                if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+                frames = []
+                for _ in range(min(self.segment, self.total - start)):
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    frames.append(_crop(frame[:, :, ::-1].copy(),
+                                        self.bounds))
+                with self._cond:
+                    self._results[seg] = frames
+                    self._cond.notify_all()
+        finally:
+            cap.release()
+
+    # -- reader ------------------------------------------------------------
+
+    def read_batch(self, n: int):
+        with self._cond:
+            while len(self._buf) < n and self._emit < len(self._segments):
+                if self._emit in self._results:
+                    self._buf.extend(self._results.pop(self._emit))
+                    self._emit += 1
+                    self._cond.notify_all()
+                else:
+                    self._cond.wait(0.05)
+            chunk, self._buf = self._buf[:n], self._buf[n:]
+            done = self._emit >= len(self._segments) and not self._buf
+        self.pos += len(chunk)
+        return (np.stack(chunk) if chunk else
+                np.zeros((0, 1, 1, 3), np.uint8)), done
+
+    @property
+    def frame_size(self):
+        h0 = int(self.bounds[0] * self._h)
+        return (int(self.bounds[1] * self._h) - h0, self._w)
+
+    def set_position(self, frac: float) -> None:
+        """Seek: tear the pipeline down and restart from the new frame."""
+        self._stop.set()
+        with self._cond:
+            self._cond.notify_all()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._stop = threading.Event()
+        self._buf = []
+        idx = int(frac * self.total) if self.total > 0 else 0
+        self.pos = idx
+        self._start_pipeline(start_frame=idx)
+
+    def get_position(self) -> float:
+        return self.pos / self.total if self.total > 0 else 0.0
+
+    def release(self) -> None:
+        self._stop.set()
+        with self._cond:
+            self._cond.notify_all()
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+
 class LiveCapture(CaptureBase):
     """Live mode: a grabber thread keeps only the latest frames (ring buffer,
     latest-wins — the reference's always-latest semantics for webcams)."""
@@ -192,11 +325,14 @@ class ArrayCapture(CaptureBase):
         return self.pos / len(self.frames) if self.frames else 0.0
 
 
-def open_capture(video, bounds=(0.0, 1.0)) -> CaptureBase:
+def open_capture(video, bounds=(0.0, 1.0), decoders: int = 1) -> CaptureBase:
     """The reference's ``-v`` semantics: an integer (or digit string) is a
-    camera index, anything else a file path."""
+    camera index, anything else a file path. ``decoders`` > 1 enables the
+    multi-worker film decoder (ParallelFileCapture)."""
     if isinstance(video, (list, np.ndarray)):
         return ArrayCapture(video, bounds)
     if isinstance(video, int) or (isinstance(video, str) and video.isdigit()):
         return LiveCapture(int(video), bounds)
+    if decoders > 1:
+        return ParallelFileCapture(str(video), bounds, workers=decoders)
     return FileCapture(str(video), bounds)

@@ -28,7 +28,8 @@ class VManagerBase:
                  bf_class=None, sf_class=None,
                  batch: int = cvconf.frame_batch,
                  stats_path: str | None = None,
-                 initial_corners=None):
+                 initial_corners=None,
+                 decoders: int = 1):
         self.controller = controller
         self.video = video
         self.bounds = bounds
@@ -45,6 +46,7 @@ class VManagerBase:
         #: bf_manual's per-video disk persistence).
         self.initial_corners = None if initial_corners is None \
             else np.asarray(initial_corners, np.float32)
+        self.decoders = decoders
         self._bf_class = bf_class or cvconf.bfinders()[0]
         self._sf_class = sf_class or cvconf.sfinders()[0]
         if controller is not None:
@@ -55,7 +57,8 @@ class VManagerBase:
 
     def init_capture(self) -> None:
         if self.capture is None:
-            self.capture = open_capture(self.video, self.bounds)
+            self.capture = open_capture(self.video, self.bounds,
+                                        decoders=self.decoders)
 
     def instantiate_finders(self) -> None:
         self.board_finder = self._bf_class(self)

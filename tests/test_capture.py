@@ -124,3 +124,55 @@ def test_device_feeder_close_midstream():
     it = iter(feeder)
     next(it)
     feeder.close()     # must not deadlock
+
+
+def _write_mp4(tmp_path, n=200, hw=(360, 640)):
+    import cv2
+
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (hw[1], hw[0]))
+    rng = np.random.default_rng(5)
+    for i in range(n):
+        frame = np.full((hw[0], hw[1], 3), i % 251, np.uint8)
+        frame[:20, :20] = rng.integers(0, 255, (20, 20, 3), np.uint8)
+        w.write(frame)
+    w.release()
+    return path
+
+
+def test_parallel_file_capture_matches_sequential(tmp_path):
+    """Segmented multi-worker decode must emit the byte-identical frame
+    sequence (film discipline: every frame exactly once, in order)."""
+    from camkifu_tpu.core.capture import FileCapture, ParallelFileCapture
+
+    path = _write_mp4(tmp_path, n=150)
+    seq = FileCapture(path)
+    par = ParallelFileCapture(path, workers=4, segment=16)
+    while True:
+        a, da = seq.read_batch(17)          # deliberately ≠ segment size
+        b, db = par.read_batch(17)
+        assert a.shape == b.shape
+        if a.size:
+            assert (a == b).all()
+        assert da == db
+        if da:
+            break
+    seq.release()
+    par.release()
+
+
+def test_parallel_file_capture_seek(tmp_path):
+    from camkifu_tpu.core.capture import FileCapture, ParallelFileCapture
+
+    path = _write_mp4(tmp_path, n=120)
+    par = ParallelFileCapture(path, workers=3, segment=16)
+    par.read_batch(10)
+    par.set_position(0.5)
+    got, _ = par.read_batch(8)
+    seq = FileCapture(path)
+    seq.set_position(0.5)
+    want, _ = seq.read_batch(8)
+    assert (got == want).all()
+    par.release()
+    seq.release()
