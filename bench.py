@@ -200,11 +200,14 @@ def main() -> None:
     # the production kernel's compiled output must match XLA's.
     from camkifu_tpu.ops.edges import edge_map
     g = jnp.asarray(frame1080[:512, :512], jnp.float32).mean(-1) / 255.0
-    mp = np.asarray(edge_map(g, backend="pallas"))
-    mx = np.asarray(edge_map(g, backend="xla"))
-    # Binary support agreement (thresholded maps): magnitudes may differ in
-    # float detail, the detector consumes the support + relative strength.
-    agree = ((mp > 0) == (mx > 0)).mean()
+    with jax.default_matmul_precision("float32"):   # as production runs it
+        mp = np.asarray(edge_map(g, backend="pallas"))
+        mx = np.asarray(edge_map(g, backend="xla"))
+    # Interior support agreement (the kernel zeroes an 8 px border by
+    # contract); magnitudes may differ in float detail, the detector
+    # consumes the support + relative strength.
+    it = slice(16, -16)
+    agree = ((mp[it, it] > 0) == (mx[it, it] > 0)).mean()
     pallas_parity = bool(agree > 0.995)
 
     print(json.dumps({

