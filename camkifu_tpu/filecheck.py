@@ -50,8 +50,21 @@ class KifuChecker:
         return out
 
 
-def iter_video_frames(path: str, bounds=(0.0, 1.0)):
-    """Yield RGB uint8 frames from a video file (host-side cv2 decode)."""
+def iter_video_frames(path: str, bounds=(0.0, 1.0), decoders: int = 1):
+    """Yield RGB uint8 frames from a video file (host-side cv2 decode;
+    ``decoders`` > 1 uses the segmented parallel decoder)."""
+    if decoders > 1:
+        from camkifu_tpu.core.capture import ParallelFileCapture
+
+        cap = ParallelFileCapture(path, bounds, workers=decoders)
+        try:
+            while True:
+                frames, done = cap.read_batch(32)
+                yield from frames
+                if done:
+                    return
+        finally:
+            cap.release()
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -148,7 +161,8 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
 
 def check(video_spec: str, ref_sgf: str | None, corners=None,
           batch: int = cvconf.frame_batch, use_meta: bool = True,
-          use_neural: bool = True, oracle: str = "tpu") -> dict:
+          use_neural: bool = True, oracle: str = "tpu",
+          decoders: int = 1) -> dict:
     """Run the harness; return the score report dict.
 
     oracle: "tpu" (the jitted pipeline), "cv2" (the independent host-side
@@ -195,7 +209,7 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
             corners = gt_corners
     else:
         def frames_factory():
-            return iter_video_frames(video_spec)
+            return iter_video_frames(video_spec, decoders=decoders)
         if ref_sgf is None:
             raise ValueError("a reference SGF is required for video input")
         ref_moves = Kifu.load(ref_sgf).moves()
@@ -248,6 +262,8 @@ def main(argv=None) -> int:
                          "(tl,tr,br,bl) — manual board corners")
     ap.add_argument("--no-meta", action="store_true",
                     help="per-frame clustering only (no temporal votes)")
+    ap.add_argument("--decoders", type=int, default=1,
+                    help="host decode workers for video files")
     ap.add_argument("--no-neural", action="store_true",
                     help="ablate the bundled neural voter (classical "
                          "ensemble only)")
@@ -265,7 +281,7 @@ def main(argv=None) -> int:
 
     report = check(args.video, args.sgf, corners=corners, batch=args.batch,
                    use_meta=not args.no_meta, use_neural=not args.no_neural,
-                   oracle=args.oracle)
+                   oracle=args.oracle, decoders=args.decoders)
     print(json.dumps(report, indent=2, default=float))
     ok = report["agreement"] >= 0.99
     print(f"\n{'PASS' if ok else 'FAIL'}: {report['good']}/{report['ref_moves']} "

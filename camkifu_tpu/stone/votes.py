@@ -40,21 +40,40 @@ def vote_update(votes: jnp.ndarray, stable: jnp.ndarray,
 
 
 def zone_motion_gate(luma_small: jnp.ndarray, prev: jnp.ndarray,
-                     gsize: int, pixel_thresh: float = 0.08,
-                     zone_thresh: float = 0.1):
+                     gsize: int, flow_thresh: float = 1.0,
+                     grad_floor: float = 0.02):
     """Frame-to-frame motion pooled per intersection.
 
-    Returns (zone_calm (g, g) float {0,1}, agitation scalar).
+    Gates on estimated motion in PIXELS — the temporal difference
+    normalized by the local spatial gradient (a one-step optical-flow
+    magnitude), NOT the raw luma difference: a high-contrast zone (white
+    stone on dark wood) flips raw diffs under the sub-pixel jitter of a
+    tracked handheld camera and would be gated forever, while a
+    low-contrast zone under a hand barely moves the raw diff. Motion
+    measured in pixels treats both correctly: jitter stays under ~1 px
+    (in the 4×-downsampled background grid this function sees), a hand/arm
+    is ≫ 1 px where it covers the board. A second
+    term catches occluders whose interior is flat (dt large, gradient
+    tiny): dt beyond what ANY sub-pixel shift of the local content could
+    produce is motion regardless of the flow estimate.
+
+    Returns (zone_calm (g, g) float {0,1}, agitation scalar = fraction of
+    moving zones).
     """
-    moving = jnp.abs(luma_small - prev) > pixel_thresh
-    agitation = moving.mean()
+    dt = jnp.abs(luma_small - prev)
+    gx = 0.5 * (jnp.roll(luma_small, -1, 1) - jnp.roll(luma_small, 1, 1))
+    gy = 0.5 * (jnp.roll(luma_small, -1, 0) - jnp.roll(luma_small, 1, 0))
+    grad = jnp.sqrt(gx * gx + gy * gy)
+    flow = dt / (grad + grad_floor)                 # ≈ |motion| in px
     f = luma_small.shape[0] // gsize
-    zone_motion = moving[:gsize * f, :gsize * f].reshape(
+    zone_flow = flow[:gsize * f, :gsize * f].reshape(
         gsize, f, gsize, f).mean(axis=(1, 3))
-    # Gate on motion EXCESS over the global median zone level: a hand is
-    # localized (the median is blind to it), while handheld-camera jitter —
-    # incl. the sub-pixel residual of tracked per-frame corners — raises
-    # every zone uniformly and must not starve the votes.
-    baseline = jnp.median(zone_motion)
-    calm = (zone_motion - baseline) <= zone_thresh
+    # Flat-occluder term: mean dt per zone vs mean gradient per zone.
+    zone_dt = dt[:gsize * f, :gsize * f].reshape(
+        gsize, f, gsize, f).mean(axis=(1, 3))
+    zone_grad = grad[:gsize * f, :gsize * f].reshape(
+        gsize, f, gsize, f).mean(axis=(1, 3))
+    flat_occluded = zone_dt > jnp.maximum(2.0 * zone_grad, 0.06)
+    calm = (zone_flow <= flow_thresh) & ~flat_occluded
+    agitation = 1.0 - calm.mean()
     return calm.astype(jnp.float32), agitation

@@ -104,6 +104,46 @@ def test_handheld_game_end_to_end_tracked():
         n = fb.shape[0]
         if n < B:                      # pad tail (static jit shapes)
             fb = np.concatenate([fb, fb[-1:].repeat(B - n, 0)])
+        # The production config-4 engine: fused track+rectify+classify+scan.
+        state, labels, _, _, _cs, _sharp, seed = sf_meta.track_read_batch(
+            state, jnp.asarray(fb), seed)
+        for lab in np.asarray(labels)[:n]:
+            ex.advance(lab)
+    rep = score_moves(ex.moves, moves)
+    assert rep["agreement"] == 1.0, rep
+
+
+def test_handheld_game_unfused_corner_batch_path():
+    """The unfused path (track_corners_batch corners → read_batch's chunked
+    warp) — what non-meta finders get from BoardFinderAuto. The clip holds
+    the final position a moment (as any real recording does) so the last
+    move's votes can settle."""
+    moves = synth.sample_moves(8, seed=6)
+    fpm = cvconf.vote_window + 3
+    base = synth.default_corners(HW)
+    frames = []
+    t = 0
+    for _, lab in synth.render_game(moves, frames_per_move=fpm,
+                                    frame_hw=HW, seed=6, empty_leadin=6):
+        drift = np.array([12.0 * np.sin(t / 7), 9.0 * np.cos(t / 9)],
+                         np.float32)
+        f, _ = synth.render_frame(lab, base + drift[None, :], HW, seed=6 + t)
+        frames.append(f)
+        t += 1
+    for _ in range(12):                # trailing hold on the last position
+        frames.append(frames[-1])
+    frames = np.stack(frames)
+
+    seed, score = bf_auto.detect_corners(jnp.asarray(frames[0]))
+    assert float(score) > 0.1
+    state = sf_meta.init_state()
+    ex = MoveExtractor()
+    B = 16
+    for k in range(0, len(frames), B):
+        fb = frames[k:k + B]
+        n = fb.shape[0]
+        if n < B:
+            fb = np.concatenate([fb, fb[-1:].repeat(B - n, 0)])
         cs, _, seed = bf_auto.track_corners_batch(jnp.asarray(fb), seed,
                                                   res=RES)
         state, labels, _, _ = sf_meta.read_batch(state, jnp.asarray(fb), cs)
@@ -147,3 +187,46 @@ def test_runtime_auto_tracking_end_to_end():
     detected = controller.kifu.moves()
     assert [(m.color, m.row, m.col) for m in detected] == \
         [(m.color, m.row, m.col) for m in moves]
+
+
+def test_tracked_hard_palette_game():
+    """Fused tracking + votes on adversarial footage (hard walnut: defocus,
+    lighting gradient, shadow, stone jitter) with a drifting camera — the
+    conditions where the classical reference pipeline collapses (PERF.md
+    oracle table)."""
+    from camkifu_tpu.stone.sf_meta import init_state, track_read_batch
+
+    moves = synth.sample_moves(6, seed=4)
+    fpm = cvconf.vote_window + 3
+    base = synth.default_corners(HW)
+    hard = dict(stone_jitter=0.07, light_gradient=0.3, blur_sigma=1.2,
+                shadow=0.18, palette="walnut")
+    frames = []
+    t = 0
+    for _, lab in synth.render_game(moves, frames_per_move=fpm,
+                                    frame_hw=HW, seed=4, empty_leadin=6,
+                                    **hard):
+        drift = np.array([9.0 * np.sin(t / 6), 7.0 * np.cos(t / 8)],
+                         np.float32)
+        f, _ = synth.render_frame(lab, base + drift[None, :], HW,
+                                  seed=4 + t, **hard)
+        frames.append(f)
+        t += 1
+    frames = np.stack(frames)
+
+    seed, score = bf_auto.detect_corners(jnp.asarray(frames[0]))
+    assert float(score) > 0.1
+    state = init_state()
+    ex = MoveExtractor()
+    B = 16
+    for k in range(0, len(frames), B):
+        fb = frames[k:k + B]
+        n = fb.shape[0]
+        if n < B:
+            fb = np.concatenate([fb, fb[-1:].repeat(B - n, 0)])
+        state, labels, _, _, _, _, seed = track_read_batch(
+            state, jnp.asarray(fb), seed)
+        for lab in np.asarray(labels)[:n]:
+            ex.advance(lab)
+    rep = score_moves(ex.moves, moves)
+    assert rep["agreement"] == 1.0, rep
