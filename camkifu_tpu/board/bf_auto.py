@@ -902,12 +902,19 @@ class BoardFinderAuto(BoardFinder):
             self.track_seed = None
             return
         if self.track_seed is not None and self._since_detect == 0:
-            # A fresh full detection just ran: re-anchor the tracker if it
-            # drifted (rotation/scale are invisible to translation tracking).
-            est = np.asarray(self.corners_array)
+            # A fresh full detection just ran. Rotation/scale drift is
+            # invisible to translation tracking, so ALWAYS pull the seed
+            # toward the detection: a blend bounds the held drift to ~one
+            # detection cadence while halving detection's own corner noise;
+            # a jump beyond a cell is a camera bump — hard re-anchor.
+            est = np.asarray(self.corners_array, np.float32)
+            seed_np = np.asarray(self.track_seed)
             cell = np.linalg.norm(est[1] - est[0]) / (self.gsize - 1)
-            if np.abs(np.asarray(self.track_seed) - est).max() > 1.0 * cell:
+            if np.abs(seed_np - est).max() > 1.0 * cell:
                 self.track_seed = None
+            else:
+                self.track_seed = jnp.asarray(
+                    0.5 * seed_np + 0.5 * est, jnp.float32)
         if self.track_seed is None:
             self.track_seed = jnp.asarray(self.corners_array, jnp.float32)
         sf = getattr(self.vmanager, "stones_finder", None)

@@ -46,9 +46,11 @@ def pad_batch(frames: np.ndarray, size: int):
     Every consumer of capture batches must go through this: a live-camera
     ring delivers however many frames it holds, and each distinct batch
     shape would otherwise be a fresh jit specialization (20–40 s compile
-    through this environment's tunnel). Padding with copies of the last real
-    frame is semantically safe for every finder: the motion gate sees zero
-    diff and the vote scan just re-reads an identical frame.
+    through this environment's tunnel). The valid count must accompany the
+    batch: stateless per-frame classifiers simply trim their outputs, while
+    the vote scan masks padded frames out of its state updates (a duplicate
+    frame is NOT harmless there — each copy would cast an independent vote,
+    amplifying a single transient misread by the pad count).
     """
     k = frames.shape[0]
     if k == 0 or k >= size:
@@ -139,6 +141,12 @@ class ParallelFileCapture(CaptureBase):
         self._h = int(probe.get(cv2.CAP_PROP_FRAME_HEIGHT))
         self._w = int(probe.get(cv2.CAP_PROP_FRAME_WIDTH))
         probe.release()
+        if self.total <= 0:
+            # Segment scheduling needs a trustworthy frame count (some
+            # AVI/stream/VFR containers report 0/-1); callers fall back to
+            # sequential FileCapture.
+            raise ValueError(f"unknown frame count for {path!r}; "
+                             "parallel decode needs a seekable file")
         self.path = path
         self.bounds = bounds
         self.segment = segment
@@ -147,6 +155,7 @@ class ParallelFileCapture(CaptureBase):
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._stop = threading.Event()
+        self._gen = 0                      # pipeline generation (seek safety)
         self._buf: list[np.ndarray] = []   # decoded, in-order, not yet read
         self._start_pipeline(start_frame=0)
 
@@ -161,40 +170,51 @@ class ParallelFileCapture(CaptureBase):
         # (workers+1 segments of `segment` frames).
         self._max_pending = self.workers + 1
         self._threads = [
-            threading.Thread(target=self._worker, daemon=True,
-                             name=f"decode-{i}")
+            threading.Thread(target=self._worker, args=(self._gen,),
+                             daemon=True, name=f"decode-{i}")
             for i in range(self.workers)]
         for t in self._threads:
             t.start()
 
-    def _worker(self) -> None:
+    def _worker(self, gen: int) -> None:
+        """Decode loop for pipeline generation `gen`: every claim/store is
+        generation-checked so a worker that outlives a seek (join timeout)
+        can never write old-position frames into the new pipeline."""
         cv2 = self._cv2
         cap = cv2.VideoCapture(self.path)
         try:
-            while not self._stop.is_set():
+            if not cap.isOpened():
+                return
+            while True:
                 with self._cond:
                     # Backpressure: don't run ahead of the reader.
-                    while (self._claim - self._emit >= self._max_pending
-                           and not self._stop.is_set()):
+                    while (gen == self._gen and not self._stop.is_set()
+                           and self._claim - self._emit >= self._max_pending):
                         self._cond.wait(0.05)
-                    if self._stop.is_set() or \
-                            self._claim >= len(self._segments):
+                    if gen != self._gen or self._stop.is_set() \
+                            or self._claim >= len(self._segments):
                         return
                     seg = self._claim
                     self._claim += 1
-                start = self._segments[seg]
-                if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
-                    cap.set(cv2.CAP_PROP_POS_FRAMES, start)
-                frames = []
-                for _ in range(min(self.segment, self.total - start)):
-                    ok, frame = cap.read()
-                    if not ok:
-                        break
-                    frames.append(_crop(frame[:, :, ::-1].copy(),
-                                        self.bounds))
+                try:
+                    start = self._segments[seg]
+                    if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
+                        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+                    frames = []
+                    for _ in range(min(self.segment, self.total - start)):
+                        ok, frame = cap.read()
+                        if not ok:
+                            break
+                        frames.append(_crop(frame[:, :, ::-1].copy(),
+                                            self.bounds))
+                except Exception:
+                    frames = []            # deliver the claim regardless —
+                                           # a skipped segment beats a
+                                           # reader hung on it forever
                 with self._cond:
-                    self._results[seg] = frames
-                    self._cond.notify_all()
+                    if gen == self._gen:
+                        self._results[seg] = frames
+                        self._cond.notify_all()
         finally:
             cap.release()
 
@@ -207,6 +227,10 @@ class ParallelFileCapture(CaptureBase):
                     self._buf.extend(self._results.pop(self._emit))
                     self._emit += 1
                     self._cond.notify_all()
+                elif not any(t.is_alive() for t in self._threads):
+                    raise RuntimeError(
+                        "all decode workers exited before segment "
+                        f"{self._emit} was produced ({self.path!r})")
                 else:
                     self._cond.wait(0.05)
             chunk, self._buf = self._buf[:n], self._buf[n:]
@@ -221,12 +245,17 @@ class ParallelFileCapture(CaptureBase):
         return (int(self.bounds[1] * self._h) - h0, self._w)
 
     def set_position(self, frac: float) -> None:
-        """Seek: tear the pipeline down and restart from the new frame."""
+        """Seek: tear the pipeline down and restart from the new frame.
+
+        The generation bump makes any worker that outlives the bounded join
+        (e.g. blocked in a slow cap.read) inert: it can neither claim new
+        segments nor store results into the new pipeline."""
         self._stop.set()
         with self._cond:
             self._cond.notify_all()
         for t in self._threads:
             t.join(timeout=2.0)
+        self._gen += 1
         self._stop = threading.Event()
         self._buf = []
         idx = int(frac * self.total) if self.total > 0 else 0
@@ -276,14 +305,23 @@ class LiveCapture(CaptureBase):
                     del self._ring[:len(self._ring) - self._ring_max]
 
     def read_batch(self, n: int):
+        # Wait (bounded) for a FULL batch: duplicates of a sparse ring carry
+        # no information, and waiting only happens when the pipeline already
+        # outruns the camera. On timeout return whatever arrived (consumers
+        # pad + mask the tail).
         deadline = time.time() + 2.0
         while time.time() < deadline:
             with self._lock:
-                if self._ring:
+                if len(self._ring) >= n:
                     frames = self._ring[-n:]
                     self._ring.clear()
                     return np.stack(frames), False
             time.sleep(0.002)
+        with self._lock:
+            if self._ring:
+                frames = self._ring[-n:]
+                self._ring.clear()
+                return np.stack(frames), False
         return np.zeros((0, 1, 1, 3), np.uint8), False
 
     @property
@@ -334,5 +372,8 @@ def open_capture(video, bounds=(0.0, 1.0), decoders: int = 1) -> CaptureBase:
     if isinstance(video, int) or (isinstance(video, str) and video.isdigit()):
         return LiveCapture(int(video), bounds)
     if decoders > 1:
-        return ParallelFileCapture(str(video), bounds, workers=decoders)
+        try:
+            return ParallelFileCapture(str(video), bounds, workers=decoders)
+        except ValueError:
+            pass                   # unknown frame count → sequential decode
     return FileCapture(str(video), bounds)

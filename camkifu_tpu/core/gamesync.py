@@ -177,7 +177,8 @@ class MoveExtractor:
             self.moves = [exp if m == err else m for m in self.moves]
 
 
-def score_moves(detected: list[Move], reference: list[Move]) -> dict:
+def score_moves(detected: list[Move], reference: list[Move],
+                with_ops: bool = False) -> dict:
     """Move-sequence agreement — the filecheck metric (SURVEY §3.5/§6).
 
     The sequences are *aligned* (minimum-edit-distance, as the reference's
@@ -187,12 +188,15 @@ def score_moves(detected: list[Move], reference: list[Move]) -> dict:
     good = aligned equal pairs, wrong = aligned substitutions, missing =
     reference moves with no detected counterpart, extra = detected moves with
     no reference counterpart. agreement = good / len(reference).
+
+    with_ops=True adds "ops": the alignment as (kind, detected_index,
+    reference_index) triples in sequence order (indices None where the kind
+    has no counterpart) — the source for human-readable diffs.
     """
     n, m = len(detected), len(reference)
     # DP over (detected, reference) prefixes: cost 0 for a match, 1 for a
     # substitution / insertion / deletion. Sequences are game-length (tens to
     # a few hundred moves) — O(n·m) host Python is negligible.
-    INF = 1 << 30
     cost = [[0] * (m + 1) for _ in range(n + 1)]
     for i in range(1, n + 1):
         cost[i][0] = i
@@ -206,22 +210,31 @@ def score_moves(detected: list[Move], reference: list[Move]) -> dict:
             row[j] = min(sub, prev[j] + 1, row[j - 1] + 1)
     # Backtrack, preferring matches, then substitutions.
     good = wrong = missing = extra = 0
+    ops: list[tuple[str, int | None, int | None]] = []
     i, j = n, m
     while i > 0 or j > 0:
         if i > 0 and j > 0 and cost[i][j] == cost[i - 1][j - 1] \
                 and detected[i - 1] == reference[j - 1]:
             good += 1
+            ops.append(("good", i - 1, j - 1))
             i, j = i - 1, j - 1
         elif i > 0 and j > 0 and cost[i][j] == cost[i - 1][j - 1] + 1:
             wrong += 1
+            ops.append(("wrong", i - 1, j - 1))
             i, j = i - 1, j - 1
         elif j > 0 and cost[i][j] == cost[i][j - 1] + 1:
             missing += 1
+            ops.append(("missing", None, j - 1))
             j -= 1
         else:
             extra += 1
+            ops.append(("extra", i - 1, None))
             i -= 1
     agreement = good / m if reference else 1.0
-    return {"good": good, "wrong": wrong, "missing": missing,
-            "extra": extra, "ref_moves": m,
-            "detected_moves": n, "agreement": agreement}
+    report = {"good": good, "wrong": wrong, "missing": missing,
+              "extra": extra, "ref_moves": m,
+              "detected_moves": n, "agreement": agreement}
+    if with_ops:
+        ops.reverse()
+        report["ops"] = ops
+    return report

@@ -39,14 +39,21 @@ class KifuChecker:
         return score_moves(list(detected), self.reference)
 
     def diff_lines(self, detected) -> list[str]:
-        out = []
+        """Per-move disagreements, derived from the SAME edit-distance
+        alignment as report() — a positional zip would list every move after
+        an early miss as wrong, contradicting the counts."""
         detected = list(detected)
-        n = max(len(detected), len(self.reference))
-        for i in range(n):
-            ref = self.reference[i] if i < len(self.reference) else None
-            det = detected[i] if i < len(detected) else None
-            if ref != det:
-                out.append(f"move {i + 1}: expected {ref!r}, got {det!r}")
+        ops = score_moves(detected, self.reference, with_ops=True)["ops"]
+        out = []
+        for kind, di, rj in ops:
+            if kind == "wrong":
+                out.append(f"ref move {rj + 1}: expected "
+                           f"{self.reference[rj]!r}, got {detected[di]!r}")
+            elif kind == "missing":
+                out.append(f"ref move {rj + 1}: missing "
+                           f"{self.reference[rj]!r}")
+            elif kind == "extra":
+                out.append(f"extra detected move: {detected[di]!r}")
         return out
 
 
@@ -56,15 +63,19 @@ def iter_video_frames(path: str, bounds=(0.0, 1.0), decoders: int = 1):
     if decoders > 1:
         from camkifu_tpu.core.capture import ParallelFileCapture
 
-        cap = ParallelFileCapture(path, bounds, workers=decoders)
         try:
-            while True:
-                frames, done = cap.read_batch(32)
-                yield from frames
-                if done:
-                    return
-        finally:
-            cap.release()
+            cap = ParallelFileCapture(path, bounds, workers=decoders)
+        except ValueError:         # unknown frame count → sequential below
+            cap = None
+        if cap is not None:
+            try:
+                while True:
+                    frames, done = cap.read_batch(32)
+                    yield from frames
+                    if done:
+                        return
+            finally:
+                cap.release()
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -145,7 +156,8 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
                     except Exception:
                         neural_params = None
             state, labels, conf, _agit = sf_meta.read_batch(
-                state, fb, corners_dev, neural_params=neural_params)
+                state, fb, corners_dev, neural_params=neural_params,
+                valid_count=(jnp.int32(n) if n < fb.shape[0] else None))
         else:
             labels, conf = pipeline.read_board_batch(fb, corners_dev)
         labels = np.asarray(labels)

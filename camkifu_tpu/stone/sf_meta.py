@@ -73,10 +73,14 @@ def _region_index(gsize: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
                gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
-               neural_params=None):
+               neural_params=None, valid_count=None):
     """The meta state machine over a batch of frames.
 
     frames: (B, H, W, 3) uint8; corners: (4, 2) fixed or (B, 4, 2) per-frame.
+    valid_count: optional traced scalar — frames beyond it are repeats of
+    the last real one (capture padding for static jit shapes) and must not
+    cast votes (a 1-frame transient would otherwise be amplified by the pad
+    count, defeating the vote window).
     Returns (state, labels (B, g, g) int8, conf (B, g, g), agitation (B,)).
 
     Structure: warp + both classifiers are stateless per frame, so they run
@@ -95,14 +99,17 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
             canon = jax.vmap(
                 lambda f: warp_to_canonical(f, corners, gsize, zone) * scale)(
                     frames)
-        return _scan_canonical(state, canon, gsize, zone, neural_params)
+        return _scan_canonical(state, canon, gsize, zone, neural_params,
+                               valid_count)
 
 
 def _scan_canonical(state: MetaState, canon: jnp.ndarray, gsize: int,
-                    zone: int, neural_params=None):
+                    zone: int, neural_params=None, valid_count=None):
     """Classifiers + temporal vote scan over precomputed canonical frames
     (B, S, S, 3) float [0,1]. Shared by read_batch (which warps first) and
-    track_read_batch (whose canonical comes from the fused tracker)."""
+    track_read_batch (whose canonical comes from the fused tracker).
+    Frames at index ≥ valid_count (if given) pass through without touching
+    the carry (votes/trust/bg/prev)."""
     with jax.default_matmul_precision("float32"):
         luma_small = jax.vmap(
             lambda c: background.downsample_luma(rgb_to_gray(c), BG_FACTOR))(
@@ -157,10 +164,15 @@ def _scan_canonical(state: MetaState, canon: jnp.ndarray, gsize: int,
                 agree).reshape(-1, 3, 3)
 
         cfg = cvconf.DEFAULT
+        b = canon.shape[0]
+        if valid_count is None:
+            valid = jnp.ones((b,), bool)
+        else:
+            valid = jnp.arange(b) < valid_count
 
         def body(carry, x):
             votes, stable, bg, trust = carry
-            (lc, cc, lk, ck, ln, cn, calm, agit, ragree, lsm) = x
+            (lc, cc, lk, ck, ln, cn, calm, agit, ragree, lsm, v) = x
             calm_scalar = agit <= cfg.agitation_threshold
             new_trust = jnp.where(calm_scalar,
                                   trust * (1 - TRUST_EMA) + ragree * TRUST_EMA,
@@ -181,17 +193,25 @@ def _scan_canonical(state: MetaState, canon: jnp.ndarray, gsize: int,
             new_bg = background.update_background(
                 jnp.where(bg[0, 0] < 0, lsm, bg), lsm, agit,
                 cfg.background_ema)
-            return ((new_votes, new_stable, new_bg, new_trust),
-                    (new_stable, out_conf))
+            # Padded frames (capture repeats of the last real one) emit the
+            # current stable reading but leave the carry untouched.
+            old_conf = jnp.clip(jnp.max(votes, axis=-1) / cfg.vote_window,
+                                0.0, 1.0)
+            carry_out = (jnp.where(v, new_votes, votes),
+                         jnp.where(v, new_stable, stable),
+                         jnp.where(v, new_bg, bg),
+                         jnp.where(v, new_trust, trust))
+            return carry_out, (carry_out[1], jnp.where(v, out_conf, old_conf))
 
         carry0 = (state.votes, state.stable, state.bg, state.trust)
         (votes, stable, bg, trust), (labels, conf) = jax.lax.scan(
             body, carry0,
             (lab_cont, conf_cont, lab_clus, conf_clus, lab_nn, conf_nn,
-             zone_calm, agitation, region_agree, luma_small))
+             zone_calm, agitation, region_agree, luma_small, valid))
         new_state = MetaState(
             votes=votes, stable=stable, bg=bg, prev=luma_small[-1],
-            trust=trust, frame_count=state.frame_count + canon.shape[0])
+            trust=trust,
+            frame_count=state.frame_count + jnp.sum(valid).astype(jnp.int32))
         return new_state, labels, conf, agitation
 
 
@@ -200,7 +220,7 @@ def track_read_batch(state: MetaState, frames: jnp.ndarray,
                      seed_corners: jnp.ndarray,
                      gsize: int = guiconf.gsize,
                      zone: int = cvconf.zone_size,
-                     chunk: int = 8, neural_params=None):
+                     chunk: int = 8, neural_params=None, valid_count=None):
     """Config-4 engine: fused per-frame board tracking + rectification +
     classification + vote scan in ONE jit region.
 
@@ -214,7 +234,7 @@ def track_read_batch(state: MetaState, frames: jnp.ndarray,
     canon, corners, sharp, new_seed = rectify_track_batch(
         frames, seed_corners, gsize=gsize, zone=zone, chunk=chunk)
     new_state, labels, conf, agitation = _scan_canonical(
-        state, canon, gsize, zone, neural_params)
+        state, canon, gsize, zone, neural_params, valid_count)
     return new_state, labels, conf, agitation, corners, sharp, new_seed
 
 
@@ -291,11 +311,23 @@ class SfMeta(_SF):
         (self.state, labels, conf, agitation, corners, sharp,
          new_seed) = track_read_batch(
             self.state, jnp.asarray(frames), seed, gsize=self.gsize,
-            neural_params=self.neural_params)
+            neural_params=self.neural_params,
+            valid_count=self._valid_arg(frames, n))
         bf.report_tracking(_np.asarray(corners), new_seed,
                            float(_np.asarray(sharp).mean()))
         self._report(agitation)
         self._consume(labels, n)
+
+    @staticmethod
+    def _valid_arg(frames, n):
+        """Traced valid-count scalar for padded batches, None when full
+        (the common case keeps the mask-free jit specialization; a traced
+        scalar avoids recompiling per distinct tail length)."""
+        import jax.numpy as jnp
+
+        if n is None or n >= frames.shape[0]:
+            return None
+        return jnp.int32(n)
 
     def _find(self, frames, corners):
         import jax.numpy as jnp
@@ -303,7 +335,8 @@ class SfMeta(_SF):
         self.state, labels, conf, agitation = read_batch(
             self.state, jnp.asarray(frames),
             jnp.asarray(corners, jnp.float32), gsize=self.gsize,
-            neural_params=self.neural_params)
+            neural_params=self.neural_params,
+            valid_count=self._valid_arg(frames, self._batch_valid))
         self._report(agitation)
         return labels, conf
 

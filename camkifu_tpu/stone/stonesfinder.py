@@ -71,6 +71,7 @@ class StonesFinder(VidProcessor):
         self.extractor = MoveExtractor(gsize=self.gsize,
                                        on_move=self._emit)
         self._contradict = np.zeros((self.gsize, self.gsize), np.int32)
+        self._batch_valid: int | None = None
 
     # -- model synchronization ---------------------------------------------
 
@@ -113,6 +114,9 @@ class StonesFinder(VidProcessor):
         if corners is None:
             self.metadata["status"] = "waiting for board"
             return
+        # Finders with temporal state read this to mask padded tail frames
+        # out of their vote updates (capture.pad_batch).
+        self._batch_valid = n
         labels, conf = self._find(frames, corners)
         self._consume(labels, n)
 

@@ -156,3 +156,38 @@ def test_capture_heavy_game_through_votes():
     # Captures applied: W(0,0) and the B pair are gone.
     assert ex.state()[0, 0] == 0
     assert ex.state()[5, 5] == 0 and ex.state()[5, 6] == 0
+
+
+def test_padded_frames_do_not_amplify_votes():
+    """A live-mode batch with 1 real frame padded to 16 copies must not
+    multiply that frame's evidence: a single transient misread would
+    otherwise be committed instantly (pad count >> vote window)."""
+    from camkifu_tpu.utils import synth
+    import jax.numpy as jnp
+
+    empty = np.zeros((19, 19), np.int8)
+    phantom = empty.copy()
+    phantom[9, 9] = 1                      # 1-frame transient "stone"
+    corners = synth.default_corners((360, 640))
+    f_empty, _ = synth.render_frame(empty, corners, (360, 640), seed=2)
+    f_phantom, _ = synth.render_frame(phantom, corners, (360, 640), seed=2)
+
+    state = sf_meta.init_state()
+    # Warm up on a full batch of empty board.
+    fb = jnp.asarray(np.stack([f_empty] * 16))
+    state, labels, _, _ = sf_meta.read_batch(state, fb,
+                                             jnp.asarray(corners))
+    assert (np.asarray(labels[-1]) == 0).all()
+
+    # One real (transient) frame padded to the batch: masked → no commit.
+    fb2 = jnp.asarray(np.stack([f_phantom] * 16))
+    state2, labels2, _, _ = sf_meta.read_batch(
+        state, fb2, jnp.asarray(corners), valid_count=jnp.int32(1))
+    assert (np.asarray(labels2[-1]) == 0).all(), \
+        "padded duplicates amplified a 1-frame transient into a commit"
+
+    # Control: the same batch WITHOUT masking would commit the phantom
+    # (this is exactly the failure mode the mask exists to prevent).
+    state3, labels3, _, _ = sf_meta.read_batch(
+        state, fb2, jnp.asarray(corners))
+    assert np.asarray(labels3[-1])[9, 9] == 1
