@@ -230,3 +230,33 @@ def test_tracked_hard_palette_game():
             ex.advance(lab)
     rep = score_moves(ex.moves, moves)
     assert rep["agreement"] == 1.0, rep
+
+
+@pytest.mark.parametrize("gsize", [9, 13])
+def test_tracking_other_board_sizes(gsize, midgame_labels):
+    """The fused engine is gsize-generic (9/13/19 like everything else)."""
+    labels = np.zeros((gsize, gsize), np.int8)
+    rng = np.random.default_rng(2)
+    idx = rng.choice(gsize * gsize, gsize, replace=False)
+    labels.flat[idx[:gsize // 2]] = 1
+    labels.flat[idx[gsize // 2:]] = 2
+    base = synth.default_corners(HW)
+    frames, gts = [], []
+    for i in range(16):
+        drift = np.array([8.0 * np.sin(i / 5), 6.0 * np.cos(i / 6)],
+                         np.float32)
+        c = base + drift[None, :]
+        f, _ = synth.render_frame(labels, c, HW, seed=3)
+        frames.append(f)
+        gts.append(c)
+    frames, gts = np.stack(frames), np.stack(gts)
+    import jax
+
+    canon, cs, sharp, _ = bf_auto.rectify_track_batch(
+        jnp.asarray(frames), jnp.asarray(gts[0]), gsize=gsize)
+    cell = np.linalg.norm(gts[0][1] - gts[0][0]) / (gsize - 1)
+    assert np.abs(np.asarray(cs) - gts).max() < 0.15 * cell
+    from camkifu_tpu.stone import sf_clustering
+    lab, _ = jax.vmap(
+        lambda c: sf_clustering.classify_canonical(c, gsize))(canon)
+    assert (np.asarray(lab) == labels[None]).mean() > 0.999
