@@ -118,3 +118,56 @@ def test_handheld_game_end_to_end():
             ex.advance(np.asarray(labels[j]))
     rep = score_moves(ex.moves, moves)
     assert rep["agreement"] == 1.0, rep
+
+
+def test_tracked_handheld_game_with_hand_occlusions():
+    """The full adversarial combination: drifting camera + a hand sweeping
+    over the board, through the fused tracking engine. The flow gate must
+    pass the jitter but block the hand; tracking sharpness holds through
+    the occlusion instead of chasing it."""
+    import cv2
+
+    from camkifu_tpu.board import bf_auto
+
+    moves = synth.sample_moves(6, seed=12)
+    base = synth.default_corners((360, 640))
+    frames = []
+    rng = np.random.default_rng(3)
+    t = 0
+
+    def drifted(state, seed):
+        nonlocal t
+        drift = np.array([6.0 * np.sin(t / 7), 5.0 * np.cos(t / 9)],
+                         np.float32)
+        t += 1
+        f, c = synth.render_frame(state, base + drift[None, :], (360, 640),
+                                  seed=seed)
+        return f
+
+    for state, _mv in synth.game_states(moves):
+        for k in range(4):                     # hand pass, camera drifting
+            f = drifted(state, int(rng.integers(1 << 30)))
+            cv2.circle(f, (150 + 90 * k, 180), 100, (205, 160, 140), -1)
+            frames.append(f)
+        for k in range(cvconf.vote_window + 3):
+            frames.append(drifted(state, int(rng.integers(1 << 30))))
+    for _ in range(10):
+        frames.append(frames[-1])
+
+    seed, score = bf_auto.detect_corners(jnp.asarray(frames[0]))
+    assert float(score) > 0.1
+    state = sf_meta.init_state()
+    ex = MoveExtractor()
+    B = 16
+    for i in range(0, len(frames), B):
+        chunk = frames[i:i + B]
+        n = len(chunk)
+        while len(chunk) < B:
+            chunk.append(chunk[-1])
+        state, labels, conf, agit, _cs, _sharp, seed = \
+            sf_meta.track_read_batch(state, jnp.asarray(np.stack(chunk)),
+                                     seed)
+        for j in range(n):
+            ex.advance(np.asarray(labels[j]))
+    rep = score_moves(ex.moves, moves)
+    assert rep["agreement"] == 1.0, rep
