@@ -377,9 +377,11 @@ def _profiles_of(rect: jnp.ndarray, gsize: int):
     # (stones sit centered on intersections — on near-full boards stone
     # *edges* peak half a cell off-line in the gradient profile, but stone
     # *bodies* peak on it in the deviation profile).
-    # Median of a 4×-subsampled view: same wood-level robustness, 1/16th
-    # of the sort (this runs per frame in the tracking path).
-    wood = jnp.median(rect[::4, ::4])
+    # Wood level: radix-select median of a 4×-subsampled view — runs per
+    # frame in the tracking path, where jnp.median's sort was a hotspot
+    # (TPU sorts; see ops.zones.median_u8).
+    from camkifu_tpu.ops.zones import median_u8
+    wood = median_u8(rect[::4, ::4].reshape(1, -1))[0]
     dev = jnp.abs(rect - wood)
     col_profile = prep(jnp.abs(gx)[interior, :].mean(axis=0)) \
         + prep(dev[interior, :].mean(axis=0))
