@@ -29,17 +29,32 @@ def stream_sharding(mesh: Mesh) -> NamedSharding:
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"),
                    donate_argnums=())
 def _read_all_streams(frames, corners, gsize, zone):
-    # Flatten (streams, B) into one big batch: stateless classification has
-    # no per-stream coupling, and one flat batch utilizes the chip better
-    # than a vmap-of-batches (measured ~4× on c5). The leading (sharded)
-    # stream axis is only split, never mixed, so no cross-chip traffic.
-    s, b = frames.shape[0], frames.shape[1]
-    flat = frames.reshape((s * b,) + frames.shape[2:])
-    corners_flat = jnp.repeat(corners, b, axis=0)        # (s·b, 4, 2)
-    labels, conf = pipeline.read_board_batch(flat, corners_flat,
-                                             gsize=gsize, zone=zone)
-    g = labels.shape[-1]
-    return labels.reshape(s, b, g, g), conf.reshape(s, b, g, g)
+    # Each stream's corners are FIXED, so warp per stream with the fixed-
+    # corner path (indices shared across the stream's frames) — routing the
+    # repeated corners through the generic per-frame chunked warp paid its
+    # median/subpixel machinery for nothing and dominated c5. The classify
+    # then runs on the flat (streams·B) batch: one flat batch utilizes the
+    # chip better than a vmap-of-batches (measured ~4× on c5). The leading
+    # (sharded) stream axis is only split, never mixed → no cross-chip
+    # traffic.
+    from camkifu_tpu.ops.warp import warp_batch_fixed
+    from camkifu_tpu.stone import sf_clustering
+
+    with jax.default_matmul_precision("float32"):
+        s, b = frames.shape[0], frames.shape[1]
+        scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
+        # lax.map (sequential over the 8 streams), NOT vmap: a vmapped warp
+        # batches 8 distinct gather-index sets, which falls off the TPU's
+        # batched-index gather cliff; each map step's gather shares its
+        # indices across the stream's frames and vectorizes fully.
+        canon = jax.lax.map(
+            lambda fc: warp_batch_fixed(fc[0], fc[1], gsize, zone),
+            (frames, corners)) * scale
+        flat = canon.reshape((s * b,) + canon.shape[2:])
+        labels, conf = jax.vmap(
+            lambda c: sf_clustering.classify_canonical(c, gsize, zone))(flat)
+        g = labels.shape[-1]
+        return labels.reshape(s, b, g, g), conf.reshape(s, b, g, g)
 
 
 def multistream_read(mesh: Mesh, frames: jnp.ndarray, corners: jnp.ndarray,
