@@ -119,8 +119,10 @@ def step_frame(state: BgSubState, canonical: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_batch(state: BgSubState, frames: jnp.ndarray, corners: jnp.ndarray,
-               gsize: int = guiconf.gsize, zone: int = cvconf.zone_size):
-    """Scan over a frame batch; same contract as sf_meta.read_batch.
+               gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
+               valid_count=None):
+    """Scan over a frame batch; same contract as sf_meta.read_batch
+    (incl. valid_count masking padded tail frames out of the state).
 
     The warp (the expensive stage) runs batched; the scan carries only the
     background/vote state and does per-frame zone medians against the
@@ -138,10 +140,20 @@ def read_batch(state: BgSubState, frames: jnp.ndarray, corners: jnp.ndarray,
                 lambda f: warp_to_canonical(f, corners, gsize, zone) * scale)(
                     frames)
 
-        def body(carry, canonical):
-            return step_frame(carry, canonical, gsize, zone)
+        b = canon.shape[0]
+        if valid_count is None:
+            valid = jnp.ones((b,), bool)
+        else:
+            valid = jnp.arange(b) < valid_count
 
-        state, outs = jax.lax.scan(body, state, canon)
+        def body(carry, x):
+            canonical, v = x
+            new_carry, outs = step_frame(carry, canonical, gsize, zone)
+            kept = jax.tree.map(lambda n, o: jnp.where(v, n, o),
+                                new_carry, carry)
+            return kept, outs
+
+        state, outs = jax.lax.scan(body, state, (canon, valid))
         return (state,) + outs
 
 
@@ -173,9 +185,12 @@ class SfBgSub(_SF):
         self.state = init_state(gsize=self.gsize)
 
     def _find(self, frames, corners):
+        n = self._batch_valid
+        vc = None if n is None or n >= frames.shape[0] else jnp.int32(n)
         self.state, labels, conf, agitation = read_batch(
             self.state, jnp.asarray(frames),
-            jnp.asarray(corners, jnp.float32), gsize=self.gsize)
+            jnp.asarray(corners, jnp.float32), gsize=self.gsize,
+            valid_count=vc)
         self.metadata["agitation"] = round(
             float(np.asarray(agitation).mean()), 4)
         return labels, conf
