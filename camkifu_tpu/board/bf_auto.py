@@ -762,7 +762,7 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("gsize", "zone", "chunk", "pad_cells"))
 def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
-                        gsize: int = 19, zone: int = 16, chunk: int = 8,
+                        gsize: int = 19, zone: int = 16, chunk: int = 16,
                         pad_cells: int = 1):
     """FUSED canonical rectification + per-frame board tracking.
 

@@ -220,7 +220,7 @@ def track_read_batch(state: MetaState, frames: jnp.ndarray,
                      seed_corners: jnp.ndarray,
                      gsize: int = guiconf.gsize,
                      zone: int = cvconf.zone_size,
-                     chunk: int = 8, neural_params=None, valid_count=None):
+                     chunk: int = 16, neural_params=None, valid_count=None):
     """Config-4 engine: fused per-frame board tracking + rectification +
     classification + vote scan in ONE jit region.
 
