@@ -152,6 +152,7 @@ class ParallelFileCapture(CaptureBase):
         self.segment = segment
         self.workers = max(1, workers)
         self.pos = 0                       # frames emitted so far
+        self.dropped_frames = 0            # decode failures, after one retry
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._stop = threading.Event()
@@ -196,27 +197,40 @@ class ParallelFileCapture(CaptureBase):
                         return
                     seg = self._claim
                     self._claim += 1
-                try:
-                    start = self._segments[seg]
-                    if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
-                        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
-                    frames = []
-                    for _ in range(min(self.segment, self.total - start)):
-                        ok, frame = cap.read()
-                        if not ok:
-                            break
-                        frames.append(_crop(frame[:, :, ::-1].copy(),
-                                            self.bounds))
-                except Exception:
-                    frames = []            # deliver the claim regardless —
-                                           # a skipped segment beats a
-                                           # reader hung on it forever
+                start = self._segments[seg]
+                expected = min(self.segment, self.total - start)
+                frames = self._decode_segment(cap, start, expected)
+                if len(frames) < expected:
+                    # One retry with a fresh seek: transient cv2 hiccups
+                    # (mid-GOP read failures) usually recover. Beyond that
+                    # the shortfall is counted in dropped_frames rather than
+                    # silently violating the every-frame-once film contract.
+                    retry = self._decode_segment(cap, start, expected)
+                    if len(retry) > len(frames):
+                        frames = retry
                 with self._cond:
                     if gen == self._gen:
                         self._results[seg] = frames
+                        self.dropped_frames += expected - len(frames)
                         self._cond.notify_all()
         finally:
             cap.release()
+
+    def _decode_segment(self, cap, start: int, expected: int):
+        """Seek to `start` and decode up to `expected` frames; [] on error."""
+        cv2 = self._cv2
+        frames: list[np.ndarray] = []
+        try:
+            if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            for _ in range(expected):
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(_crop(frame[:, :, ::-1].copy(), self.bounds))
+        except Exception:
+            pass
+        return frames
 
     # -- reader ------------------------------------------------------------
 
@@ -227,6 +241,11 @@ class ParallelFileCapture(CaptureBase):
                     self._buf.extend(self._results.pop(self._emit))
                     self._emit += 1
                     self._cond.notify_all()
+                elif self._stop.is_set():
+                    # A concurrent seek (set_position) is tearing the
+                    # pipeline down; wait for the new generation rather than
+                    # mistaking the teardown for worker death.
+                    self._cond.wait(0.05)
                 elif not any(t.is_alive() for t in self._threads):
                     raise RuntimeError(
                         "all decode workers exited before segment "
@@ -255,12 +274,16 @@ class ParallelFileCapture(CaptureBase):
             self._cond.notify_all()
         for t in self._threads:
             t.join(timeout=2.0)
-        self._gen += 1
-        self._stop = threading.Event()
-        self._buf = []
-        idx = int(frac * self.total) if self.total > 0 else 0
-        self.pos = idx
-        self._start_pipeline(start_frame=idx)
+        with self._cond:
+            # Swap pipeline state atomically w.r.t. a concurrent read_batch:
+            # the reader holds this lock between liveness checks, so it can
+            # never observe dead old threads with the new stop flag unset.
+            self._gen += 1
+            self._stop = threading.Event()
+            self._buf = []
+            idx = int(frac * self.total) if self.total > 0 else 0
+            self.pos = idx
+            self._start_pipeline(start_frame=idx)
 
     def get_position(self) -> float:
         return self.pos / self.total if self.total > 0 else 0.0
@@ -308,11 +331,14 @@ class LiveCapture(CaptureBase):
         # Wait (bounded) for a FULL batch: duplicates of a sparse ring carry
         # no information, and waiting only happens when the pipeline already
         # outruns the camera. On timeout return whatever arrived (consumers
-        # pad + mask the tail).
+        # pad + mask the tail). The wait target is clamped to the ring
+        # capacity — a batch larger than the ring could otherwise never be
+        # satisfied and every read would eat the full timeout.
+        target = min(n, self._ring_max)
         deadline = time.time() + 2.0
         while time.time() < deadline:
             with self._lock:
-                if len(self._ring) >= n:
+                if len(self._ring) >= target:
                     frames = self._ring[-n:]
                     self._ring.clear()
                     return np.stack(frames), False

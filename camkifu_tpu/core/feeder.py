@@ -34,21 +34,26 @@ class DeviceFeeder:
 
         from camkifu_tpu.core.capture import pad_batch
 
-        done = False
-        while not done and not self._stop.is_set():
-            frames, done = self.capture.read_batch(self.batch)
-            frames, n = pad_batch(frames, self.batch)
-            if n:
-                # device_put returns immediately; the DMA overlaps with the
-                # consumer's compute on the previous batch. The last host
-                # frame rides along for the GUI preview window. Frames are
-                # padded to the static batch size so every dispatch hits the
-                # same jit specialization (live rings vary in occupancy).
-                dev = jax.device_put(jnp.asarray(frames))
-                self._q.put((dev, n, done, frames[n - 1]))
-            elif done:
-                break
-        self._q.put(None)                    # end-of-stream sentinel
+        try:
+            done = False
+            while not done and not self._stop.is_set():
+                frames, done = self.capture.read_batch(self.batch)
+                frames, n = pad_batch(frames, self.batch)
+                if n:
+                    # device_put returns immediately; the DMA overlaps with
+                    # the consumer's compute on the previous batch. The last
+                    # host frame rides along for the GUI preview window.
+                    # Frames are padded to the static batch size so every
+                    # dispatch hits the same jit specialization (live rings
+                    # vary in occupancy).
+                    dev = jax.device_put(jnp.asarray(frames))
+                    self._q.put((dev, n, done, frames[n - 1]))
+                elif done:
+                    break
+        finally:
+            # The sentinel must be enqueued even if read_batch/device_put
+            # raises, or the consumer blocks on the queue forever.
+            self._q.put(None)                # end-of-stream sentinel
 
     def __iter__(self):
         while True:

@@ -145,9 +145,10 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
             from camkifu_tpu.stone import sf_meta
             if state is None:
                 state = sf_meta.init_state(gsize=gsize)
-                # Same opt-in neural voter as the SfMeta runtime host: the
-                # bundled (or user-trained) checkpoint joins the ensemble
-                # (--no-neural ablates it).
+                # Same opt-in neural voter as the SfMeta runtime host: a
+                # user-trained checkpoint always joins; the BUNDLED one
+                # only with CAMKIFU_NEURAL=1 (post-ablation default —
+                # models/neural.load_params). --no-neural ablates both.
                 neural_params = None
                 if use_neural:
                     try:
@@ -277,8 +278,10 @@ def main(argv=None) -> int:
     ap.add_argument("--decoders", type=int, default=1,
                     help="host decode workers for video files")
     ap.add_argument("--no-neural", action="store_true",
-                    help="ablate the bundled neural voter (classical "
-                         "ensemble only)")
+                    help="ablate the neural voter (classical ensemble only; "
+                         "note the bundled checkpoint already needs "
+                         "CAMKIFU_NEURAL=1 to join — only a user-trained "
+                         "checkpoint participates by default)")
     ap.add_argument("--oracle", choices=("tpu", "cv2", "both"),
                     default="tpu",
                     help="which pipeline to score: the TPU pipeline, the "
