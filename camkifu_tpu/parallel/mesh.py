@@ -92,6 +92,58 @@ def multistream_init_states(n_streams: int, gsize: int = guiconf.gsize):
         lambda leaf: jnp.broadcast_to(leaf, (n_streams,) + leaf.shape), one)
 
 
+def _track_all_streams(states, frames, seeds, gsize, zone):
+    from camkifu_tpu.stone import sf_meta
+
+    # lax.map (sequential over local streams), NOT vmap: each stream's
+    # fused tracker re-rectifies on its own running seed — vmap would batch
+    # distinct gather-index sets (the TPU batched-gather cliff), while each
+    # map step's chunk-shared gather vectorizes across the stream's frames.
+    return jax.lax.map(
+        lambda sfs: sf_meta.track_read_batch(
+            sfs[0], sfs[1], sfs[2], gsize=gsize, zone=zone),
+        (states, frames, seeds))
+
+
+def multistream_track_read(mesh: Mesh, states, frames: jnp.ndarray,
+                           seeds: jnp.ndarray,
+                           gsize: int = guiconf.gsize,
+                           zone: int = cvconf.zone_size):
+    """Config 4 × config 5: the FUSED tracking engine (per-frame board
+    measurement + rectification + classification + vote scan) over N
+    independent *handheld* streams, sharded over the mesh.
+
+    Unlike multistream_read/multistream_read_meta, every stream carries a
+    live tracker: its seed quad re-anchors at its own last frame each call.
+    shard_map (not plain jit) makes the placement explicit: each chip loops
+    only over its LOCAL streams, so no cross-chip traffic exists and the
+    per-stream gathers stay chunk-shared (the fast shape).
+
+    states: stacked MetaState (multistream_init_states); frames:
+    (n_streams, B, H, W, 3); seeds: (n_streams, 4, 2) — each stream's last
+    detection or previous new_seed.
+    Returns (new_states, labels (S, B, g, g), conf, agitation (S, B),
+    corners (S, B, 4, 2), sharpness (S, B), align (S, B),
+    new_seeds (S, 4, 2)), all stream-sharded.
+    """
+    sh = stream_sharding(mesh)
+    states = jax.tree.map(lambda leaf: jax.device_put(leaf, sh), states)
+    frames = jax.device_put(frames, sh)
+    seeds = jax.device_put(seeds, sh)
+    spec = P("stream")
+    # check_vma off: the tracker's lax.scan carries bootstrap from
+    # replicated constants (zeros) but become stream-varying after one
+    # step, which the varying-manual-axes analysis rejects even though
+    # every stream is fully independent (no cross-device communication
+    # exists for it to validate).
+    fn = jax.shard_map(
+        functools.partial(_track_all_streams, gsize=gsize, zone=zone),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    with mesh:
+        return jax.jit(fn)(states, frames, seeds)
+
+
 def multistream_read_meta(mesh: Mesh, states, frames: jnp.ndarray,
                           corners: jnp.ndarray,
                           gsize: int = guiconf.gsize,

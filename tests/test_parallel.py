@@ -19,6 +19,54 @@ def test_entry_compiles():
     assert tracked.shape == (4, 19, 19)
 
 
+def test_multistream_tracked_correctness():
+    """Stream-sharded FUSED tracking (multistream_track_read) must equal the
+    single-stream engine run per stream: same labels, corners, and re-anchor
+    seeds — each stream's tracker carry is independent (VERDICT r2 item 4)."""
+    from jax.sharding import Mesh
+    import jax.numpy as jnp
+
+    from camkifu_tpu.parallel.mesh import (multistream_init_states,
+                                           multistream_track_read)
+    from camkifu_tpu.stone import sf_meta
+
+    n, B, hw = 4, 8, (360, 640)
+    frames_s, seeds_s = [], []
+    for s in range(n):
+        labels = np.zeros((19, 19), np.int8)
+        rng = np.random.default_rng(s)
+        idx = rng.choice(361, 24 + 8 * s, replace=False)
+        labels.flat[idx[::2]] = 1
+        labels.flat[idx[1::2]] = 2
+        base = synth.default_corners(hw)
+        fr = []
+        for i in range(B):
+            drift = np.array([3.0 * np.sin(i / 3 + s), 2.0 * np.cos(i / 4)],
+                             np.float32)
+            f, _ = synth.render_frame(labels, base + drift[None, :], hw,
+                                      seed=s)
+            fr.append(f)
+        frames_s.append(np.stack(fr))
+        seeds_s.append(base)
+
+    mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("stream",))
+    states = multistream_init_states(n)
+    (new_states, labels, conf, agit, corners, sharp, align,
+     new_seeds) = multistream_track_read(
+        mesh, states, jnp.asarray(np.stack(frames_s)),
+        jnp.asarray(np.stack(seeds_s, dtype=np.float32)))
+    assert np.asarray(labels).shape == (n, B, 19, 19)
+    for s in range(n):
+        ref = sf_meta.track_read_batch(
+            sf_meta.init_state(), jnp.asarray(frames_s[s]),
+            jnp.asarray(seeds_s[s], jnp.float32))
+        assert np.array_equal(np.asarray(labels)[s], np.asarray(ref[1])), s
+        assert np.allclose(np.asarray(corners)[s], np.asarray(ref[4]),
+                           atol=1e-2), s
+        assert np.allclose(np.asarray(new_seeds)[s], np.asarray(ref[7]),
+                           atol=1e-2), s
+
+
 def test_multistream_correctness():
     """Stream-sharded classification must equal per-stream classification."""
     from jax.sharding import Mesh
