@@ -174,10 +174,13 @@ def main() -> None:
         return sf_meta.track_read_batch(state0, f1080_b, seed)[1]
     c4_s = _timeit(c4, fence)
     c4_fps = batch / c4_s
-    # Honest full-redetection rate: every frame through detect_corners.
-    det_s = _timeit(lambda: bf_auto.detect_corners(f1080_b[0])[0], fence,
-                    reps=5)
-    c4_full_redetect_fps = 1.0 / det_s
+    # Honest full-redetection rate: every frame fully re-detected, through
+    # the batch API (stage-1 coarse work vmaps across frames; only the
+    # gather-bound refine runs sequentially — VERDICT r2 item 7).
+    redet_n = 8
+    det_s = _timeit(lambda: bf_auto.detect_batch(f1080_b[:redet_n])[0],
+                    fence, reps=3)
+    c4_full_redetect_fps = redet_n / det_s
 
     # -- c5: 8 concurrent 1080p streams on one chip (the multi-stream
     # flattening of parallel.mesh._read_all_streams) ------------------------

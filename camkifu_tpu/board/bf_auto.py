@@ -96,7 +96,8 @@ def _box_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def _coarse_quad(gray_small: jnp.ndarray,
-                 chroma_small: jnp.ndarray | None = None):
+                 chroma_small: jnp.ndarray | None = None,
+                 edge_backend: str = "auto"):
     """Edge-density board-region quadrilateral on the detection-res gray.
 
     The board is the region dense in edges (grid lines and/or stones) against
@@ -116,9 +117,9 @@ def _coarse_quad(gray_small: jnp.ndarray,
     "no board found".
     """
     res = gray_small.shape[0]
-    mag = edge_map(gray_small)
+    mag = edge_map(gray_small, backend=edge_backend)
     if chroma_small is not None:
-        mag_c = edge_map(chroma_small)
+        mag_c = edge_map(chroma_small, backend=edge_backend)
         # Union in per-channel-normalized units: luma and chroma gradient
         # amplitudes are not comparable (different dynamic ranges), but each
         # edge_map is already thresholded relative to its own 99.5th pctl.
@@ -294,6 +295,141 @@ def _snap_teeth(profile: jnp.ndarray, o, s, gsize: int):
     return jnp.where(ok, o2, o), jnp.where(ok, s2, s)
 
 
+def _snap_quadratic(profile: jnp.ndarray, o, s, gsize: int):
+    """Snap each tooth to its sub-pixel profile peak (as _snap_teeth), then
+    weighted-LS fit snapped ≈ a + b·i + c·i² and return the fitted OUTER
+    line positions (i = 0 and i = gsize−1).
+
+    The even-spacing comb — and _snap_teeth's straight-line refit — cannot
+    represent the residual projective pitch drift left after rectifying on
+    a slightly-off quad; averaging that drift into (o, s) is the source of
+    the detector's 3–8 px coarse-seed corner bias (NEXT r2 item 2; the cv2
+    oracle's adaptive-pitch lattice walk wins for exactly this reason). One
+    quadratic term captures the drift to first order and pins the outer
+    lines where the measured peaks put them.
+    """
+    n = profile.shape[0]
+    n_off = 21
+    idx = jnp.arange(gsize, dtype=jnp.float32)
+    teeth = o + s * idx
+    offs = jnp.linspace(-1.0, 1.0, n_off) * (s / 3.0)
+    win = _interp1d_hat(profile, teeth[:, None] + offs[None, :])
+    best = jnp.argmax(win, axis=1)
+    bm1 = win[jnp.arange(gsize), jnp.clip(best - 1, 0, n_off - 1)]
+    bp1 = win[jnp.arange(gsize), jnp.clip(best + 1, 0, n_off - 1)]
+    b0 = win[jnp.arange(gsize), best]
+    den = bm1 - 2 * b0 + bp1
+    delta = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (bm1 - bp1) / den, 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    step = offs[1] - offs[0]
+    snapped = teeth + offs[best] + delta * step            # (g,)
+
+    w = jnp.maximum(b0, 1e-6)
+    ic = idx - (gsize - 1) / 2.0                # centered → conditioned 3×3
+    X = jnp.stack([jnp.ones_like(ic), ic, ic * ic], axis=-1)   # (g, 3)
+
+    def wls(weights):
+        A = (X * weights[:, None]).T @ X
+        rhs = (X * weights[:, None]).T @ snapped
+        return jnp.linalg.solve(A, rhs)
+
+    beta = wls(w)
+    # One IRLS pass: teeth that locked onto an off-line ridge (overhanging
+    # stone edges sit ±0.47·s from the line on dense boards) land far from
+    # the smooth fit — downweight them and refit, so a minority of
+    # edge-locked teeth cannot drag the outer-line estimate.
+    resid = snapped - X @ beta
+    w2 = w / (1.0 + (resid / (0.12 * s)) ** 2)
+    beta = wls(w2)
+    # Post-fit agreement: on clean lattices the surviving teeth hug the
+    # smooth fit (weighted rms ≪ 0.1·s); on stone-saturated boards the
+    # snap targets are ridge noise and the spread stays large — there the
+    # comb (which pooled all teeth) is the safer estimate.
+    r2 = snapped - X @ beta
+    rms = jnp.sqrt((w2 * r2 * r2).sum() / jnp.maximum(w2.sum(), 1e-6))
+    fit_ok = rms < 0.15 * s
+    e = (gsize - 1) / 2.0
+    lo = beta[0] - beta[1] * e + beta[2] * e * e
+    hi = beta[0] + beta[1] * e + beta[2] * e * e
+    # Guards: the quadratic bow must stay a small correction (residual
+    # perspective is gentle at these margins), and the pinned outer lines
+    # must stay near the comb's — otherwise keep the comb (a wrong basin or
+    # an occluded edge is not something the pin should chase).
+    bow_ok = jnp.abs(beta[2]) * e * e < 0.35 * s
+    lo_ok = jnp.abs(lo - o) < 0.5 * s
+    hi_ok = jnp.abs(hi - (o + s * (gsize - 1))) < 0.5 * s
+    ok = bow_ok & lo_ok & hi_ok & fit_ok
+    return (jnp.where(ok, lo, o),
+            jnp.where(ok, hi, o + s * (gsize - 1)))
+
+
+def _pin_corners(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
+                 res: int = REFINE_RES):
+    """Final sub-pixel corner pin: re-rectify on the detected quad, snap
+    both axes' teeth to their measured peaks with a quadratic pitch-drift
+    fit (_snap_quadratic), and rebuild the corners from the pinned outer
+    lines. Runs on the winning candidate at the end of detect_corners.
+
+    The pin is measured PER HALF (the _split_profiles trick): when the
+    rectifying quad is off, the true lattice is a slanted quad in rect
+    space — measured up to ~11 px of x-slant between the top and bottom
+    of the canvas at perspective 0.3 — which full-extent profiles average
+    away (their 1-D positions come out right while every corner is wrong).
+    Snapping each axis over the two orthogonal halves and linearly
+    extrapolating to the outer-line heights recovers each corner's own
+    coordinates, i.e. the full projective correction to first order.
+    """
+    from camkifu_tpu.ops.warp import _inv3
+
+    H = _rect_H(quad, 0.10, res)
+    rect = _sample_rect(gray, H, res)
+    _, _, ct, cb, rl, rr = _split_profiles(rect, gsize)
+    rc = apply_homography(_inv3(H), quad)
+    ox = 0.5 * (rc[0, 0] + rc[3, 0])
+    xh = 0.5 * (rc[1, 0] + rc[2, 0])
+    oy = 0.5 * (rc[0, 1] + rc[1, 1])
+    yh = 0.5 * (rc[2, 1] + rc[3, 1])
+    sx = (xh - ox) / (gsize - 1)
+    sy = (yh - oy) / (gsize - 1)
+    x0t, x1t = _snap_quadratic(ct, ox, sx, gsize)     # top-half rows
+    x0b, x1b = _snap_quadratic(cb, ox, sx, gsize)     # bottom-half rows
+    y0l, y1l = _snap_quadratic(rl, oy, sy, gsize)     # left-half cols
+    y0r, y1r = _snap_quadratic(rr, oy, sy, gsize)     # right-half cols
+
+    # Interior-half measurement heights (uniform row weighting over
+    # [res/8, res/2) and [res/2, 7res/8)).
+    h1, h2 = 0.3125 * res, 0.6875 * res
+    span = h2 - h1
+    y_top = 0.5 * (y0l + y0r)
+    y_bot = 0.5 * (y1l + y1r)
+    x_left = 0.5 * (x0t + x0b)
+    x_right = 0.5 * (x1t + x1b)
+
+    def at(v1, v2, pos):                  # linear extrapolation in h
+        return v1 + (pos - h1) * (v2 - v1) / span
+
+    # Shear sanity: halves that disagree beyond half a cell are measuring
+    # something other than the same line (occlusion artifacts) — drop the
+    # shear term rather than extrapolate it.
+    def guard(v1, v2):
+        bad = jnp.abs(v2 - v1) > 0.5 * sx
+        m = 0.5 * (v1 + v2)
+        return jnp.where(bad, m, v1), jnp.where(bad, m, v2)
+
+    x0t, x0b = guard(x0t, x0b)
+    x1t, x1b = guard(x1t, x1b)
+    y0l, y0r = guard(y0l, y0r)
+    y1l, y1r = guard(y1l, y1r)
+
+    rc2 = jnp.array([
+        [at(x0t, x0b, y_top), at(y0l, y0r, x_left)],     # tl
+        [at(x1t, x1b, y_top), at(y0l, y0r, x_right)],    # tr
+        [at(x1t, x1b, y_bot), at(y1l, y1r, x_right)],    # br
+        [at(x0t, x0b, y_bot), at(y1l, y1r, x_left)],     # bl
+    ])
+    return apply_homography(H, rc2)
+
+
 def _comb_quality(profile: jnp.ndarray, o, s, gsize: int):
     """Gap-penalized comb score at exactly (o, s), for cross-basin ranking.
 
@@ -351,26 +487,31 @@ def _sample_rect(gray: jnp.ndarray, H: jnp.ndarray, res: int) -> jnp.ndarray:
     return rect
 
 
+def _prep_profile(profile: jnp.ndarray, gsize: int) -> jnp.ndarray:
+    """Condition a raw 1D energy profile into a normalized lattice signal.
+
+    Clip spikes: the board/table slab edge is far stronger than grid
+    lines and would otherwise buy a one-tooth-shifted comb; after
+    clipping, 19 aligned medium peaks always beat one saturated edge.
+    Then high-pass at the cell scale: wide bands (table margins, shading
+    gradients) carry no lattice information but would bias the comb;
+    only the ~cell-periodic structure should score.
+    """
+    p = jnp.minimum(profile, jnp.percentile(profile, 90))
+    n = p.shape[0]
+    r = max(2, n // (2 * gsize))
+    c = jnp.cumsum(jnp.pad(p, (r + 1, r), mode="edge"))
+    local_mean = (c[2 * r + 1:] - c[:n]) / (2 * r + 1)
+    p = jnp.maximum(p - local_mean, 0.0)
+    return p / jnp.maximum(p.max(), 1e-6)
+
+
 def _profiles_of(rect: jnp.ndarray, gsize: int):
     """Rectified board image → (col_profile, row_profile) lattice signals."""
     res = rect.shape[0]
     gx, gy = sobel(rect)
     interior = slice(res // 8, res - res // 8)
-
-    def prep(profile):
-        # Clip spikes: the board/table slab edge is far stronger than grid
-        # lines and would otherwise buy a one-tooth-shifted comb; after
-        # clipping, 19 aligned medium peaks always beat one saturated edge.
-        p = jnp.minimum(profile, jnp.percentile(profile, 90))
-        # High-pass at the cell scale: wide bands (table margins, shading
-        # gradients) carry no lattice information but would bias the comb;
-        # only the ~cell-periodic structure should score.
-        n = p.shape[0]
-        r = max(2, n // (2 * gsize))
-        c = jnp.cumsum(jnp.pad(p, (r + 1, r), mode="edge"))
-        local_mean = (c[2 * r + 1:] - c[:n]) / (2 * r + 1)
-        p = jnp.maximum(p - local_mean, 0.0)
-        return p / jnp.maximum(p.max(), 1e-6)
+    prep = functools.partial(_prep_profile, gsize=gsize)
 
     # Two lattice signals, both peaking ON the grid lines: gradient energy
     # (grid lines, sparse boards) and luma deviation from the wood level
@@ -388,6 +529,44 @@ def _profiles_of(rect: jnp.ndarray, gsize: int):
     row_profile = prep(jnp.abs(gy)[:, interior].mean(axis=1)) \
         + prep(dev[:, interior].mean(axis=1))
     return col_profile, row_profile
+
+
+def _split_profiles(rect: jnp.ndarray, gsize: int):
+    """Rectified board image → full + half-split lattice profiles for the
+    4-DoF tracker: (col_full, row_full, col_top, col_bot, row_left,
+    row_right).
+
+    Same signals as _profiles_of (gradient energy + luma deviation). The
+    FULL profiles are prepped over the whole interior average (identical
+    to _profiles_of — prepping halves separately and averaging is NOT
+    equivalent: prep is nonlinear and the per-half normalization roughly
+    halves the correlation sharpness, measured). The column (x-axis)
+    profile is additionally measured over the TOP and BOTTOM halves of the
+    interior rows, and the row (y-axis) profile over the LEFT and RIGHT
+    halves of the interior columns: a rigid in-plane rotation shifts the
+    two orthogonal halves of an axis in OPPOSITE directions (dx_top −
+    dx_bot = θ·Δy), which a full-extent profile cannot see — the
+    differential shifts feed _track_measure's similarity solve.
+    """
+    res = rect.shape[0]
+    gx, gy = sobel(rect)
+    i0, i1, mid = res // 8, res - res // 8, res // 2
+    prep = functools.partial(_prep_profile, gsize=gsize)
+
+    from camkifu_tpu.ops.zones import median_u8
+    wood = median_u8(rect[::4, ::4].reshape(1, -1))[0]
+    dev = jnp.abs(rect - wood)
+    agx, agy = jnp.abs(gx), jnp.abs(gy)
+
+    def colp(rows):
+        return prep(agx[rows, :].mean(axis=0)) + prep(dev[rows, :].mean(axis=0))
+
+    def rowp(cols):
+        return prep(agy[:, cols].mean(axis=1)) + prep(dev[:, cols].mean(axis=1))
+
+    return (colp(slice(i0, i1)), rowp(slice(i0, i1)),
+            colp(slice(i0, mid)), colp(slice(mid, i1)),
+            rowp(slice(i0, mid)), rowp(slice(mid, i1)))
 
 
 def _fit_combs(H: jnp.ndarray, col_profile: jnp.ndarray,
@@ -495,6 +674,33 @@ def _slab_inset(corners: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(dists).min()
 
 
+def _detect_prepare(frame: jnp.ndarray, res: int,
+                    edge_backend: str = "auto"):
+    """Detection stage 1 (dense, batchable): gray + coarse board quad.
+
+    Returns (gray u8 (H, W), quad (4, 2) frame px, score). Everything here
+    is resize/filter/top-k work that vectorizes cleanly across a batch —
+    unlike stage 2's rectification gathers (varying indices per frame).
+    """
+    h, w = frame.shape[0], frame.shape[1]
+    # uint8 gray for the rectification gathers (see _rect_profiles); the
+    # coarse stage works on small resized floats. Converting the whole
+    # frame to f32 first would materialize a 24 MB copy at 1080p.
+    gray = rgb_to_gray_u8(frame)
+    fscale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
+    small = jax.image.resize(gray.astype(jnp.float32) / 255.0,
+                             (res, res), method="bilinear")
+    chroma = jax.image.resize(
+        (frame[..., 0].astype(jnp.float32)
+         - frame[..., 2].astype(jnp.float32)) * fscale,
+        (res, res), method="bilinear")
+    quad_small, score = _coarse_quad(small, chroma,
+                                     edge_backend=edge_backend)
+    scale = jnp.array([(w - 1) / (res - 1), (h - 1) / (res - 1)],
+                      jnp.float32)
+    return gray, quad_small * scale[None, :], score
+
+
 @functools.partial(jax.jit, static_argnames=("res", "gsize", "refine_iters"))
 def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
                    gsize: int = 19, refine_iters: int = 2):
@@ -504,22 +710,16 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
     score < ~0.1 means "no board found" (callers keep the previous estimate).
     """
     with jax.default_matmul_precision("float32"):
-        h, w = frame.shape[0], frame.shape[1]
-        # uint8 gray for the rectification gathers (see _rect_profiles); the
-        # coarse stage works on small resized floats. Converting the whole
-        # frame to f32 first would materialize a 24 MB copy at 1080p.
-        gray = rgb_to_gray_u8(frame)
-        fscale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
-        small = jax.image.resize(gray.astype(jnp.float32) / 255.0,
-                                 (res, res), method="bilinear")
-        chroma = jax.image.resize(
-            (frame[..., 0].astype(jnp.float32)
-             - frame[..., 2].astype(jnp.float32)) * fscale,
-            (res, res), method="bilinear")
-        quad_small, score = _coarse_quad(small, chroma)
-        scale = jnp.array([(w - 1) / (res - 1), (h - 1) / (res - 1)],
-                          jnp.float32)
-        quad = quad_small * scale[None, :]
+        gray, quad, score = _detect_prepare(frame, res)
+        corners = _detect_refine(gray, quad, score, gsize, refine_iters)
+        return corners, score
+
+
+def _detect_refine(gray: jnp.ndarray, quad: jnp.ndarray, score,
+                   gsize: int, refine_iters: int = 2):
+    """Detection stages 2–3 (gather-bound, per frame): comb refinement race
+    + slab disambiguation + the sub-pixel outer-line pin."""
+    with jax.default_matmul_precision("float32"):
         # Multi-hypothesis refinement: the comb fit has discrete shifted
         # basins (one tooth on the slab edge instead of a grid line), and no
         # single scoring beats all stone densities — so race both scorings,
@@ -561,7 +761,18 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
         idx = jnp.where(feasible.any(), jnp.argmax(pick_q),
                         jnp.argmax(insets))
         corners = cs[idx]
-        return corners.astype(jnp.float32), score
+        # Final sub-pixel pin on the winner (per-half quadratic fit of the
+        # outer lines — kills the coarse-seed comb bias). Once: like the
+        # comb refine, the pin does not contract under iteration (measured:
+        # a second pass re-biases through its own fresh rectification).
+        # Gated on the coarse score: stone-saturated boards (low score)
+        # have ridge-noise profiles where the snapped teeth agree on a
+        # smoothly WRONG lattice — there the pooled comb is the safer
+        # estimate (measured: pin 13.6 px vs comb 10.2 px max at 250
+        # stones, vs pin ≤3 px everywhere line-dominated).
+        pinned = _pin_corners(gray, corners, gsize)
+        corners = jnp.where(score > 0.55, pinned, corners)
+        return corners.astype(jnp.float32)
 
 
 def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
@@ -571,7 +782,9 @@ def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
     lax.map, not vmap: the Pallas edge kernel cannot be batch-vmapped (the
     batching rule lands the batch on the lane dim), and detection's gathers
     hit the varying-index cliff under vmap anyway; the sequential map runs
-    each frame on the fast single-frame path.
+    each frame on the fast single-frame path. (Measured r3: vmapping the
+    coarse stage on the XLA edge path costs ~2× the per-frame Pallas path —
+    batch parallelism does not repay the kernel it loses.)
     """
     return jax.lax.map(lambda f: detect_corners(f, res, gsize=gsize), frames)
 
@@ -615,6 +828,13 @@ TRACK_MIN_SHARPNESS = 1.5
 #: Reference-profile adaptation rate (EMA toward the latest aligned frame,
 #: so slow scene changes — new stones — don't decorrelate the reference).
 TRACK_REF_EMA = 0.15
+
+#: Lattice-alignment trip-wire: force re-detection when a batch's comb
+#: alignment falls below this fraction of the baseline pinned at the last
+#: re-anchor (slow drift the sharpness gate cannot see). Calibration on the
+#: synthetic keystone ramp: clean batches stay ≥0.86 of baseline; ~0.5 cell
+#: of unmodeled perspective drift decays alignment below ~0.55.
+TRACK_ALIGN_TRIP = 0.6
 
 
 def _profile_shift(profile: jnp.ndarray, delta) -> jnp.ndarray:
@@ -661,6 +881,267 @@ def _hold_bad(d: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+#: Per-chunk caps on the measured rotation/scale update: beyond these the
+#: scene changed faster than tracking can model (a bump) — the sharpness /
+#: alignment trip-wires force re-detection rather than extrapolating.
+TRACK_MAX_THETA = 0.12          # rad (~7°)
+TRACK_MAX_SIGMA = 0.08
+
+#: Max disagreement between the two independent θ (or σ) estimates before
+#: the whole frame is distrusted (the conflict veto): occluders corrupt the
+#: x- and y-derived estimates differently; real rotation/zoom moves both
+#: together.
+TRACK_DIFF_AGREE = 0.015
+
+#: Deadband (in cells) for the ABSOLUTE corrections (teeth-fit center
+#: deviations, lattice lock): below it a correction is indistinguishable
+#: from the lattice signal's own content bias (~0.05–0.1 cell of standing
+#: peak-vs-geometry offset, measured by ablation); above it, it is a real
+#: seed/reference error and applies whole.
+TRACK_ABS_DEADBAND = 0.12
+
+
+def _lattice_offset(profile: jnp.ndarray, first: jnp.ndarray, pitch,
+                    gsize: int, S: int):
+    """ABSOLUTE lattice lock: sub-pixel offset of a profile's lattice from
+    the positions the seed quad implies (teeth at first + k·pitch).
+
+    Content-reference correlation (the rest of the tracker) measures only
+    RELATIVE motion — any seed error (e.g. the host's detection median
+    taken over frames at different drift phases) persists as a constant
+    corner offset that high sharpness then hides. Correlating against a
+    synthetic comb TEMPLATE of the expected lattice measures the absolute
+    residual once per chunk; adding it to every frame's translation pins
+    the output corners to the measured lattice, not the seed.
+
+    Returns (offset, sharpness) — gate on sharpness like any correlation.
+    """
+    n = profile.shape[0]
+    bins = jnp.arange(n, dtype=jnp.float32)
+    pos = first + pitch * jnp.arange(gsize, dtype=jnp.float32)
+    template = jnp.maximum(
+        0.0, 1.0 - jnp.abs(bins[None, :] - pos[:, None])).sum(axis=0)
+    d, sh = _corr_shift(profile[None, :], template, S)
+    return d[0], sh[0]
+
+
+def _teeth_fit(profile: jnp.ndarray, first, pitch, gsize: int):
+    """Robust per-tooth lattice fit: snap each of the gsize teeth (expected
+    at first + k·pitch) to its sub-pixel profile peak within ±pitch/3, then
+    IRLS-weighted linear fit position_k ≈ A + B·(k − center).
+
+    Unlike a half-window cross-correlation — whose peak a SINGLE new scene
+    element (a just-played stone adds one big profile peak) can drag by
+    several px, which a differential then amplifies into a spurious
+    θ/σ (measured: σ jumped to the 0.05–0.08 clip when moves were played
+    on hard palettes) — the line fit treats each tooth as one observation
+    and the IRLS pass strips the polluted minority.
+
+    Returns (da, b, ok): deviation of the lattice CENTER from expected
+    (A − (first + pitch·(gsize−1)/2)), fitted pitch B, and a validity flag
+    (teeth agree on a line: weighted rms residual < 0.15·pitch).
+    """
+    n_off = 15
+    idx = jnp.arange(gsize, dtype=jnp.float32)
+    teeth = first + pitch * idx
+    offs = jnp.linspace(-1.0, 1.0, n_off) * (pitch / 3.0)
+    win = _interp1d_hat(profile, teeth[:, None] + offs[None, :])
+    best = jnp.argmax(win, axis=1)
+    gi = jnp.arange(gsize)
+    bm1 = win[gi, jnp.clip(best - 1, 0, n_off - 1)]
+    bp1 = win[gi, jnp.clip(best + 1, 0, n_off - 1)]
+    b0 = win[gi, best]
+    den = bm1 - 2 * b0 + bp1
+    delta = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (bm1 - bp1) / den, 0.0)
+    step = offs[1] - offs[0]
+    snapped = teeth + offs[best] + jnp.clip(delta, -1, 1) * step
+
+    w = jnp.maximum(b0, 1e-6)
+    ic = idx - (gsize - 1) / 2.0
+
+    def wls(weights):
+        sw = weights.sum()
+        sx = (weights * ic).sum()
+        sy = (weights * snapped).sum()
+        sxx = (weights * ic * ic).sum()
+        sxy = (weights * ic * snapped).sum()
+        d = jnp.maximum(sw * sxx - sx * sx, 1e-6)
+        B = (sw * sxy - sx * sy) / d
+        A = (sy - B * sx) / sw
+        return A, B
+
+    A, B = wls(w)
+    resid = snapped - (A + B * ic)
+    w2 = w / (1.0 + (resid / (0.12 * pitch)) ** 2)
+    A, B = wls(w2)
+    r2 = snapped - (A + B * ic)
+    rms = jnp.sqrt((w2 * r2 * r2).sum() / jnp.maximum(w2.sum(), 1e-6))
+    ok = (rms < 0.15 * pitch) & (B > 0.5 * pitch)
+    da = A - (first + pitch * (gsize - 1) / 2.0)
+    return da, B, ok
+
+
+def _half_geometry(rc: jnp.ndarray, n: int, gsize: int):
+    """Expected per-half lattice (first tooth, pitch) from the seed quad's
+    ACTUAL rect-space corners.
+
+    The margin-expanded rectification is projective, so even a perfect
+    seed's lattice is a slightly slanted quad in rect coordinates (several
+    px between the top and bottom halves) — measured against a single
+    axis-aligned expectation that residual reads as a constant spurious
+    θ/σ (~1.4° on the unfused path). Interpolating the quad's edge lines
+    at each half's measurement height gives every half its own exact
+    expectation, cancelling the model error absolutely (no differencing —
+    and hence no per-chunk rotation lag — needed).
+
+    Returns (fx_t, fx_b, sx_t, sx_b, fy_l, fy_r, sy_l, sy_r).
+    """
+    h1, h2 = 0.3125 * n, 0.6875 * n     # interior half measurement centers
+
+    def xl(y):
+        return rc[0, 0] + (y - rc[0, 1]) * (rc[3, 0] - rc[0, 0]) \
+            / (rc[3, 1] - rc[0, 1])
+
+    def xr(y):
+        return rc[1, 0] + (y - rc[1, 1]) * (rc[2, 0] - rc[1, 0]) \
+            / (rc[2, 1] - rc[1, 1])
+
+    def yt(x):
+        return rc[0, 1] + (x - rc[0, 0]) * (rc[1, 1] - rc[0, 1]) \
+            / (rc[1, 0] - rc[0, 0])
+
+    def yb(x):
+        return rc[3, 1] + (x - rc[3, 0]) * (rc[2, 1] - rc[3, 1]) \
+            / (rc[2, 0] - rc[3, 0])
+
+    g1 = gsize - 1
+    return (xl(h1), xl(h2), (xr(h1) - xl(h1)) / g1, (xr(h2) - xl(h2)) / g1,
+            yt(h1), yt(h2), (yb(h1) - yt(h1)) / g1, (yb(h2) - yt(h2)) / g1)
+
+
+def _track_measure(cf, rf, ct, cb, rl, rr, ref_col, ref_row, S: int,
+                   geom, gsize: int):
+    """Full + half-split profiles → per-frame 4-DoF similarity measurement.
+
+    Inputs: (chunk, n) profiles from _split_profiles and the (n,) full-axis
+    references. Model: the board moved by a similarity about the rect
+    center, p' = c + (1+σ)·R(θ)·(p−c) + t, so a point at offset v from the
+    center displaces by dx = tx − θ·vy + σ·vx, dy = ty + θ·vx + σ·vy.
+
+    Coarse translation and the frame gate use the FULL-extent content
+    correlations — the r2-proven signal: an occluder mixed into the full
+    profile collapses its peak sharpness, so corrupted frames reject and
+    hold (this gate carried every r2 occlusion scenario). The half-split
+    profiles then get a robust per-tooth lattice fit each (_teeth_fit),
+    seeded at the frame's coarse translation, giving per half an absolute
+    center offset `a` and pitch `b`:
+
+    - rotation: the x-offsets of the top vs bottom halves (and y-offsets
+      of left vs right) differ by θ·lever — invisible to any full-extent
+      measurement. Lever: interior halves, uniform row weighting → 0.375·n.
+    - scale: the fitted pitch vs the seed-implied pitch, σ = b̄/s − 1.
+    - absolute translation: the mean center offset over both halves
+      corrects reference-EMA drift and seed error per frame.
+
+    Each differential is accepted only when the frame's gate passed, BOTH
+    its half-fits converged, and — when the x- and y-derived estimates of
+    the same physical quantity both exist — they AGREE (real rotation or
+    zoom moves both together; a corruption moves them differently).
+
+    Returns (tx, ty, theta, sigma, sharp, ok, rot_ok, scl_ok), all (chunk,).
+    """
+    n = ct.shape[-1]
+    fx_t, fx_b, sx_t, sx_b, fy_l, fy_r, sy_l, sy_r = geom
+    tx, shxf = _corr_shift(cf, ref_col, S)
+    ty, shyf = _corr_shift(rf, ref_row, S)
+    sharp = jnp.minimum(shxf, shyf)
+    ok = sharp >= TRACK_MIN_SHARPNESS
+
+    # Robust per-half lattice fits, seeded at each frame's coarse
+    # translation (the snap window is ±pitch/3 — the stone-edge ridges at
+    # ±0.47·pitch stay outside it). Each half measures against ITS OWN
+    # expected lattice (_half_geometry), so the fits are absolute.
+    a_t, b_t, k_t = jax.vmap(
+        lambda p, d: _teeth_fit(p, fx_t + d, sx_t, gsize))(ct, tx)
+    a_b, b_b, k_b = jax.vmap(
+        lambda p, d: _teeth_fit(p, fx_b + d, sx_b, gsize))(cb, tx)
+    a_l, b_l, k_l = jax.vmap(
+        lambda p, d: _teeth_fit(p, fy_l + d, sy_l, gsize))(rl, ty)
+    a_r, b_r, k_r = jax.vmap(
+        lambda p, d: _teeth_fit(p, fy_r + d, sy_r, gsize))(rr, ty)
+
+    lo = 0.375 * n                        # orthogonal-split lever
+
+    th1 = (a_t - a_b) / lo
+    th2 = (a_r - a_l) / lo
+    v1 = k_t & k_b & ok
+    v2 = k_l & k_r & ok
+    both_t = v1 & v2
+    agree_t = jnp.abs(th1 - th2) < TRACK_DIFF_AGREE
+    theta = jnp.where(both_t, 0.5 * (th1 + th2), jnp.where(v1, th1, th2))
+    rot_ok = jnp.where(both_t, agree_t, v1 | v2)
+
+    sg1 = 0.5 * (b_t / sx_t + b_b / sx_b) - 1.0
+    sg2 = 0.5 * (b_l / sy_l + b_r / sy_r) - 1.0
+    both_s = both_t
+    agree_s = jnp.abs(sg1 - sg2) < TRACK_DIFF_AGREE
+    sigma = jnp.where(both_s, 0.5 * (sg1 + sg2), jnp.where(v1, sg1, sg2))
+    scl_ok = jnp.where(both_s, agree_s, v1 | v2)
+
+    # Per-frame ABSOLUTE translation refinement: the mean lattice-center
+    # deviation over both halves corrects reference-EMA drift and residual
+    # seed error — when both halves fit (a single half would alias θ into
+    # translation). DEADBAND: the measured lattice signal's peaks sit a
+    # couple px off the geometric truth (renderer/AA/prep asymmetries —
+    # ablation measured ~1–2 rect px of standing bias per absolute
+    # estimator), so corrections smaller than ~0.12 cell are noise-level
+    # content bias, not seed error — suppress them; real seed errors are
+    # several px and pass through whole.
+    dbx = TRACK_ABS_DEADBAND * 0.5 * (sx_t + sx_b)
+    dby = TRACK_ABS_DEADBAND * 0.5 * (sy_l + sy_r)
+    cx = 0.5 * (a_t + a_b)
+    cy = 0.5 * (a_l + a_r)
+    tx = jnp.where(v1 & (jnp.abs(cx) >= dbx), tx + cx, tx)
+    ty = jnp.where(v2 & (jnp.abs(cy) >= dby), ty + cy, ty)
+
+    theta = jnp.clip(theta, -TRACK_MAX_THETA, TRACK_MAX_THETA)
+    sigma = jnp.clip(sigma, -TRACK_MAX_SIGMA, TRACK_MAX_SIGMA)
+    return tx, ty, theta, sigma, sharp, ok, rot_ok, scl_ok
+
+
+def _apply_similarity(rc_pts: jnp.ndarray, dx, dy, theta, sigma):
+    """Apply per-frame similarity updates to rect-space points.
+
+    rc_pts: (k, 2); dx/dy/theta/sigma: (chunk,). → (chunk, k, 2)."""
+    c = rc_pts.mean(axis=0)
+    v = rc_pts - c                                       # (k, 2)
+    cosT, sinT = jnp.cos(theta), jnp.sin(theta)          # (chunk,)
+    rot = jnp.stack([jnp.stack([cosT, -sinT], -1),
+                     jnp.stack([sinT, cosT], -1)], -2)   # (chunk, 2, 2)
+    vv = jnp.einsum("cij,kj->cki", rot, v) * (1.0 + sigma)[:, None, None]
+    return c[None, None, :] + vv + jnp.stack([dx, dy], -1)[:, None, :]
+
+
+def _align_quality(cols, rows, rc_seed, dx, dy, sigma, gsize: int):
+    """Lattice-alignment trip-wire signal: the gap-penalized comb score of
+    each frame's OWN profiles at the comb position the tracked transform
+    predicts. Sharpness (a correlation-peak ratio) provably fails to trip
+    under slow model-mismatch drift — the r2 rotation probe measured 1.4
+    cells of corner error with sharpness still above threshold — because
+    the reference EMA adapts to the drifted content. The comb score is
+    ABSOLUTE: teeth off the true lattice score low no matter how self-
+    consistent the correlation is. The host compares it to its own EMA.
+    """
+    c = rc_seed.mean(axis=0)
+    ox = c[0] + (rc_seed[0, 0] - c[0]) * (1.0 + sigma) + dx   # (chunk,)
+    oy = c[1] + (rc_seed[0, 1] - c[1]) * (1.0 + sigma) + dy
+    sx = (rc_seed[1, 0] - rc_seed[0, 0]) * (1.0 + sigma) / (gsize - 1)
+    sy = (rc_seed[3, 1] - rc_seed[0, 1]) * (1.0 + sigma) / (gsize - 1)
+    qx = jax.vmap(lambda p, o, s: _comb_quality(p, o, s, gsize))(cols, ox, sx)
+    qy = jax.vmap(lambda p, o, s: _comb_quality(p, o, s, gsize))(rows, oy, sy)
+    return qx + qy
+
+
 @functools.partial(jax.jit, static_argnames=("gsize", "chunk", "res"))
 def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
                         gsize: int = 19, chunk: int = 8,
@@ -681,9 +1162,18 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
     Rotation/perspective drift is NOT modeled here — the host finder
     re-runs full detection at bf_period cadence, which re-anchors the seed.
 
+    Each frame's measurement is a full 4-DoF similarity (translation +
+    in-plane rotation + scale) solved from half-split profile correlations
+    (_track_measure) — the r2 probe showed pure-translation tracking drifts
+    silently to >1 cell under a slowly rotating camera while the sharpness
+    gate never trips. Out-of-plane perspective drift remains unmodeled; the
+    per-frame lattice-alignment score (`align`) is the trip-wire for it —
+    the host forces re-detection when it decays against its own EMA.
+
     frames: (B, H, W, 3) uint8/float; seed_corners: (4, 2) from
     detect_corners (or the previous batch's new_seed).
-    Returns (corners (B, 4, 2) float32, sharpness (B,), new_seed (4, 2)).
+    Returns (corners (B, 4, 2) float32, sharpness (B,), align (B,),
+    new_seed (4, 2)).
     """
     with jax.default_matmul_precision("float32"):
         b = frames.shape[0]
@@ -702,29 +1192,68 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
         from camkifu_tpu.ops.warp import _inv3
 
         def body(carry, frames_chunk):
-            seed, ref_col, ref_row, ref_ok = carry
+            seed, ref_col, ref_row, e_lock, ref_ok = carry
             H = _rect_H(seed, TRACK_MARGIN, res)
             # Where the seed corners ACTUALLY land in rect coords — not the
             # analytic (o0, s0): the frame-space margin expansion is not
             # affine, so the projective residual is several px.
             rc_seed = apply_homography(_inv3(H), seed)        # (4, 2)
             rects = jax.vmap(lambda g: _sample_rect(g, H, res))(frames_chunk)
-            cols, rows = jax.vmap(lambda r: _profiles_of(r, gsize))(rects)
+            cf, rf, ct, cb, rl, rr = jax.vmap(
+                lambda r: _split_profiles(r, gsize))(rects)
+            cols, rows = cf, rf
             # First chunk bootstraps the reference from its first frame (the
             # seed detection ran on/near it, so its lattice sits at rc_seed).
             ref_col = jnp.where(ref_ok, ref_col, cols[0])
             ref_row = jnp.where(ref_ok, ref_row, rows[0])
-            dx, sh_x = _corr_shift(cols, ref_col, S)
-            dy, sh_y = _corr_shift(rows, ref_row, S)
-            sharp = jnp.minimum(sh_x, sh_y)
-            ok = sharp >= TRACK_MIN_SHARPNESS
-            # Reject low-sharpness frames: hold the last good offset.
-            dx = _hold_bad(dx, ok)
-            dy = _hold_bad(dy, ok)
+            sx = (rc_seed[1, 0] - rc_seed[0, 0]) / (gsize - 1)
+            sy = (rc_seed[3, 1] - rc_seed[0, 1]) / (gsize - 1)
+            first_x = 0.5 * (rc_seed[0, 0] + rc_seed[3, 0])
+            first_y = 0.5 * (rc_seed[0, 1] + rc_seed[1, 1])
+            (tx, ty, theta, sigma, sharp, ok, rot_ok,
+             scl_ok) = _track_measure(cf, rf, ct, cb, rl, rr,
+                                      ref_col, ref_row, S,
+                                      _half_geometry(rc_seed, res, gsize),
+                                      gsize)
+            # Reject unmeasurable frames: hold the last good value per DoF.
+            dx = _hold_bad(tx, ok)
+            dy = _hold_bad(ty, ok)
+            theta = _hold_bad(theta, rot_ok & ok)
+            sigma = _hold_bad(sigma, scl_ok & ok)
 
-            d = jnp.stack([dx, dy], axis=-1)                  # (chunk, 2)
-            rcs = rc_seed[None, :, :] + d[:, None, :]
+            # Absolute lattice lock (see _lattice_offset): pin the chunk's
+            # first frame to the seed-implied comb; the residual corrects
+            # every frame's translation, so seed error cannot persist as a
+            # hidden constant offset.
+            ex_m, sex = _lattice_offset(cols[0], first_x, sx, gsize, S)
+            ey_m, sey = _lattice_offset(rows[0], first_y, sy, gsize, S)
+            # Comb-quality referee: the template correlation can lock onto
+            # an off-lattice ridge (stone edges on hard palettes) — accept
+            # the lock only where the ABSOLUTE comb score says the locked
+            # position beats the current one.
+            qx_with = _comb_quality(cols[0], first_x + ex_m, sx, gsize)
+            qx_without = _comb_quality(
+                cols[0], first_x + dx[0] + e_lock[0], sx, gsize)
+            qy_with = _comb_quality(rows[0], first_y + ey_m, sy, gsize)
+            qy_without = _comb_quality(
+                rows[0], first_y + dy[0] + e_lock[1], sy, gsize)
+            exc = ex_m - dx[0]
+            eyc = ey_m - dy[0]
+            e_lock = jnp.stack([
+                jnp.where((sex >= TRACK_MIN_SHARPNESS) & ok[0]
+                          & (qx_with > qx_without)
+                          & (jnp.abs(exc) >= TRACK_ABS_DEADBAND * sx),
+                          exc, e_lock[0]),
+                jnp.where((sey >= TRACK_MIN_SHARPNESS) & ok[0]
+                          & (qy_with > qy_without)
+                          & (jnp.abs(eyc) >= TRACK_ABS_DEADBAND * sy),
+                          eyc, e_lock[1])])
+            dx = dx + e_lock[0]
+            dy = dy + e_lock[1]
+
+            rcs = _apply_similarity(rc_seed, dx, dy, theta, sigma)
             cs = jax.vmap(lambda rc: apply_homography(H, rc))(rcs)
+            align = _align_quality(cols, rows, rc_seed, dx, dy, sigma, gsize)
             # Hand off to the next chunk: it re-rectifies at the last
             # frame's corners, so in ITS rect coords the lattice sits at
             # rc_seed2 (exact). Old-rect positions map to new-rect positions
@@ -746,17 +1275,22 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
                 ref_row, anchor[1] - anchor2[1]) \
                 + TRACK_REF_EMA * _profile_shift(
                     rows[-1], anchor[1] + dy[-1] - anchor2[1])
+            # After re-anchoring on measured corners the next chunk's lock
+            # residual restarts near zero.
             return ((new_seed, new_ref_col, new_ref_row,
-                     jnp.bool_(True)), (cs, sharp))
+                     jnp.zeros((2,), jnp.float32), jnp.bool_(True)),
+                    (cs, sharp, align))
 
         carry0 = (seed_corners.astype(jnp.float32),
                   jnp.zeros((res,), jnp.float32),
-                  jnp.zeros((res,), jnp.float32), jnp.bool_(False))
-        (_, _, _, _), (cs, sharp) = jax.lax.scan(body, carry0, gc)
+                  jnp.zeros((res,), jnp.float32),
+                  jnp.zeros((2,), jnp.float32), jnp.bool_(False))
+        _, (cs, sharp, align) = jax.lax.scan(body, carry0, gc)
         new_seed = cs[-1, -1]
         cs = cs.reshape(k * chunk, 4, 2)[:b]
         sharp = sharp.reshape(k * chunk)[:b]
-        return cs, sharp, new_seed
+        align = align.reshape(k * chunk)[:b]
+        return cs, sharp, align, new_seed
 
 
 @functools.partial(jax.jit,
@@ -777,9 +1311,18 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
     rather than the (possibly stale) corner inputs. Rotation/perspective
     drift is re-anchored by periodic full detection (bf_period).
 
+    Tracking measures a full 4-DoF similarity per frame (_track_measure):
+    the corner outputs carry rotation + scale, and the chunk handoff
+    re-anchors the canvas on them, so sustained camera rotation no longer
+    drifts silently (r2 probe: >1 cell at 4.65° under pure-translation
+    tracking). The canonical CROP corrects translation only — residual
+    in-chunk rotation is bounded by one chunk's worth (re-anchored every
+    `chunk` frames) and stays well under a zone for realistic rates.
+
     frames: (B, H, W, 3); seed_corners: (4, 2) from detect_corners.
     Returns (canon (B, S, S, 3) float [0,1] with S = gsize·zone,
-             corners (B, 4, 2) frame-space, sharpness (B,), new_seed (4, 2)).
+             corners (B, 4, 2) frame-space, sharpness (B,), align (B,),
+             new_seed (4, 2)).
     """
     with jax.default_matmul_precision("float32"):
         b = frames.shape[0]
@@ -806,7 +1349,7 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
         grid = jnp.stack([uu, vv], axis=-1)
 
         def body(carry, frames_chunk):
-            seed, ref_col, ref_row, ref_ok = carry
+            seed, ref_col, ref_row, e_lock, ref_ok = carry
             H = homography_dlt(anchors, seed)
             src = apply_homography(H, grid)
             rect = jax.vmap(lambda f: bilinear_sample(
@@ -814,15 +1357,51 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             luma = jnp.tensordot(
                 rect, jnp.asarray([0.299, 0.587, 0.114], jnp.float32),
                 axes=([-1], [0]))                           # (chunk, E, E)
-            cols, rows = jax.vmap(lambda r: _profiles_of(r, gsize))(luma)
+            cf, rf, ct, cb, rl, rr = jax.vmap(
+                lambda r: _split_profiles(r, gsize))(luma)
+            cols, rows = cf, rf
             ref_col = jnp.where(ref_ok, ref_col, cols[0])
             ref_row = jnp.where(ref_ok, ref_row, rows[0])
-            dx, sh_x = _corr_shift(cols, ref_col, S)
-            dy, sh_y = _corr_shift(rows, ref_row, S)
-            sharp = jnp.minimum(sh_x, sh_y)
-            okf = sharp >= TRACK_MIN_SHARPNESS
-            dx = _hold_bad(dx, okf)
-            dy = _hold_bad(dy, okf)
+            first = jnp.float32(lo)
+            pitch = jnp.float32(zone)
+            (tx, ty, theta, sigma, sharp, okf, rot_ok,
+             scl_ok) = _track_measure(cf, rf, ct, cb, rl, rr,
+                                      ref_col, ref_row, S,
+                                      _half_geometry(anchors, E, gsize),
+                                      gsize)
+            dx = _hold_bad(tx, okf)
+            dy = _hold_bad(ty, okf)
+            theta = _hold_bad(theta, rot_ok & okf)
+            sigma = _hold_bad(sigma, scl_ok & okf)
+
+            # Absolute lattice lock (see _lattice_offset): in this engine
+            # the seed-implied comb is exactly the static anchors (teeth at
+            # lo + k·zone by DLT construction).
+            ex_m, sex = _lattice_offset(cols[0], first, pitch, gsize, S)
+            ey_m, sey = _lattice_offset(rows[0], first, pitch, gsize, S)
+            # Comb-quality referee: accept the lock only where the absolute
+            # comb score says the locked position beats the current one
+            # (the template can mislock onto stone-edge ridges — measured
+            # ~0.9 cells of self-consistent error on hard palettes).
+            qx_with = _comb_quality(cols[0], first + ex_m, pitch, gsize)
+            qx_without = _comb_quality(
+                cols[0], first + dx[0] + e_lock[0], pitch, gsize)
+            qy_with = _comb_quality(rows[0], first + ey_m, pitch, gsize)
+            qy_without = _comb_quality(
+                rows[0], first + dy[0] + e_lock[1], pitch, gsize)
+            exc = ex_m - dx[0]
+            eyc = ey_m - dy[0]
+            e_lock = jnp.stack([
+                jnp.where((sex >= TRACK_MIN_SHARPNESS) & okf[0]
+                          & (qx_with > qx_without)
+                          & (jnp.abs(exc) >= TRACK_ABS_DEADBAND * pitch),
+                          exc, e_lock[0]),
+                jnp.where((sey >= TRACK_MIN_SHARPNESS) & okf[0]
+                          & (qy_with > qy_without)
+                          & (jnp.abs(eyc) >= TRACK_ABS_DEADBAND * pitch),
+                          eyc, e_lock[1])])
+            dx = dx + e_lock[0]
+            dy = dy + e_lock[1]
 
             # Canonical crop at the integer offset (per-frame dynamic slice,
             # sequential over the chunk — tiny DMAs, no batched gather),
@@ -842,30 +1421,33 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
 
             _, canon = jax.lax.scan(crop, None, (rect, ix, iy, fx, fy))
 
-            d = jnp.stack([dx, dy], axis=-1)                # (chunk, 2)
-            cs = jax.vmap(lambda dd: apply_homography(
-                H, anchors + dd[None, :]))(d)
+            rcs = _apply_similarity(anchors, dx, dy, theta, sigma)
+            cs = jax.vmap(lambda rc: apply_homography(H, rc))(rcs)
+            align = _align_quality(cols, rows, anchors, dx, dy, sigma, gsize)
             # Next chunk re-anchors at the last frame's corners: its lattice
             # lands back at `anchors` (exact, by DLT construction), so the
             # old reference needs no shift and the last profile realigns by
-            # its own d.
+            # its own translation.
             new_seed = cs[-1]
             new_ref_col = (1 - TRACK_REF_EMA) * ref_col \
                 + TRACK_REF_EMA * _profile_shift(cols[-1], dx[-1])
             new_ref_row = (1 - TRACK_REF_EMA) * ref_row \
                 + TRACK_REF_EMA * _profile_shift(rows[-1], dy[-1])
-            return ((new_seed, new_ref_col, new_ref_row, jnp.bool_(True)),
-                    (canon, cs, sharp))
+            return ((new_seed, new_ref_col, new_ref_row,
+                     jnp.zeros((2,), jnp.float32), jnp.bool_(True)),
+                    (canon, cs, sharp, align))
 
         carry0 = (seed_corners.astype(jnp.float32),
                   jnp.zeros((E,), jnp.float32),
-                  jnp.zeros((E,), jnp.float32), jnp.bool_(False))
-        _, (canon, cs, sharp) = jax.lax.scan(body, carry0, fc)
+                  jnp.zeros((E,), jnp.float32),
+                  jnp.zeros((2,), jnp.float32), jnp.bool_(False))
+        _, (canon, cs, sharp, align) = jax.lax.scan(body, carry0, fc)
         new_seed = cs[-1, -1]
         canon = canon.reshape((k * chunk,) + canon.shape[2:])[:b]
         cs = cs.reshape(k * chunk, 4, 2)[:b]
         sharp = sharp.reshape(k * chunk)[:b]
-        return canon, cs, sharp, new_seed
+        align = align.reshape(k * chunk)[:b]
+        return canon, cs, sharp, align, new_seed
 
 
 # ---------------------------------------------------------------------------
@@ -894,6 +1476,7 @@ class BoardFinderAuto(BoardFinder):
         super().__init__(vmanager)
         self._estimate: np.ndarray | None = None
         self.track_seed = None             # device (4, 2), batch-fresh
+        self._align_anchor: float | None = None  # align at last re-anchor
 
     def _doframe(self, frames, n: int | None = None) -> None:
         import jax.numpy as jnp
@@ -917,30 +1500,61 @@ class BoardFinderAuto(BoardFinder):
             else:
                 self.track_seed = jnp.asarray(
                     0.5 * seed_np + 0.5 * est, jnp.float32)
+            # A fresh anchor resets the alignment baseline too.
+            self._align_anchor = None
         if self.track_seed is None:
             self.track_seed = jnp.asarray(self.corners_array, jnp.float32)
+            self._align_anchor = None
         sf = getattr(self.vmanager, "stones_finder", None)
         if getattr(sf, "fused_tracking", False):
             # The stones finder tracks inside its fused rectify+classify
             # pass and reports back through report_tracking.
             return
-        cs, sharp, new_seed = track_corners_batch(
+        cs, sharp, align, new_seed = track_corners_batch(
             jnp.asarray(frames), self.track_seed, gsize=self.gsize)
         self.report_tracking(np.asarray(cs), new_seed,
-                             float(np.asarray(sharp).mean()))
+                             float(np.asarray(sharp).mean()),
+                             self.batch_align(align, sharp))
+
+    @staticmethod
+    def batch_align(align, sharp) -> float:
+        """Batch lattice-alignment summary: mean over the frames whose
+        correlation was sharp (occluded/blurred frames report held offsets —
+        their align says nothing about geometric drift)."""
+        align = np.asarray(align)
+        good = np.asarray(sharp) >= TRACK_MIN_SHARPNESS
+        return float(align[good].mean() if good.any() else align.mean())
 
     def report_tracking(self, corners_batch: np.ndarray, new_seed,
-                        mean_sharp: float) -> None:
+                        mean_sharp: float,
+                        mean_align: float | None = None) -> None:
         """Adopt a batch's per-frame tracking result (own or the fused
-        stones-finder pass). Sharpness collapse = tracking lost (bump or
-        occlusion): force a full re-detection on the next batch."""
+        stones-finder pass). Two independent trip-wires force a full
+        re-detection on the next batch:
+
+        - sharpness collapse — tracking lost outright (bump, occlusion);
+        - lattice-alignment decay vs the baseline recorded at the last
+          re-anchor — slow model-mismatch drift (out-of-plane perspective
+          change) that stays correlation-sharp because the reference EMA
+          adapts along with it (the r2 rotation probe's failure mode).
+          The baseline is pinned at each re-anchor, never EMA-adapted, so
+          arbitrarily slow decay still trips.
+        """
         self.corners_batch = corners_batch
         self.track_seed = new_seed
         self.metadata["track_sharpness"] = round(mean_sharp, 2)
+        if mean_align is not None:
+            self.metadata["track_align"] = round(mean_align, 3)
+            if self._align_anchor is None:
+                self._align_anchor = mean_align
+            elif (self._align_anchor > 0.02
+                  and mean_align < TRACK_ALIGN_TRIP * self._align_anchor):
+                self._since_detect = 10 ** 9      # force re-detect next batch
         if mean_sharp < TRACK_MIN_SHARPNESS:
             self._since_detect = 10 ** 9
             self.track_seed = None
             self.corners_batch = None
+            self._align_anchor = None
 
     def _detect(self, frames) -> bool:
         import jax.numpy as jnp

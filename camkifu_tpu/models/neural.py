@@ -88,16 +88,32 @@ def harvest_patches(n_boards: int = 40, frame_hw=(720, 1280), seed: int = 0,
         persp = float(rng.uniform(0.03, 0.25))
         corners = synth.default_corners(frame_hw, perspective=persp)
         # Cycle wood palettes and sample the adversarial-eval degradation
-        # ranges (lighting gradient, defocus, shadow) so the voter is not
+        # ranges (lighting gradient, defocus, shadow, and the r3 'real'
+        # additions: wood-grain texture, vignetting) so the voter is not
         # tuned to one board look or to clean studio frames.
         frame, _ = synth.render_frame(
             labels, corners, frame_hw, seed=int(rng.integers(1 << 30)),
             stone_jitter=0.06, palette=palettes[b % len(palettes)],
             light_gradient=float(rng.uniform(0.0, 0.35)),
             blur_sigma=float(rng.choice([0.0, 0.0, 0.8, 1.4])),
-            shadow=float(rng.choice([0.0, 0.0, 0.15, 0.25])))
+            shadow=float(rng.choice([0.0, 0.0, 0.15, 0.25])),
+            wood_texture=float(rng.choice([0.0, 0.08, 0.12])),
+            vignette=float(rng.choice([0.0, 0.0, 0.22])))
+        # Warp through PERTURBED corners (small similarity error: rotation
+        # up to ~1.2°, a few px of shift): the runtime feeds the classifier
+        # canonicals with exactly this kind of residual (tracking measures
+        # per chunk; within-chunk rotation is corrected only at re-anchor),
+        # so train on it rather than on perfectly-centered zones.
+        wc = corners
+        if rng.random() < 0.5:
+            th = float(rng.normal(0.0, 0.012))
+            ctr = corners.mean(axis=0)
+            rot = np.array([[np.cos(th), -np.sin(th)],
+                            [np.sin(th), np.cos(th)]], np.float32)
+            wc = (ctr + (corners - ctr) @ rot.T
+                  + rng.normal(0.0, 1.5, (1, 2))).astype(np.float32)
         canon = warp_to_canonical(to_float(jnp.asarray(frame)),
-                                  jnp.asarray(corners))
+                                  jnp.asarray(wc))
         zones = np.asarray(extract_zones(canon, 19, zone))
         all_patches.append(zones.reshape(-1, zone, zone, 3))
         all_labels.append(labels.reshape(-1).astype(np.int32))

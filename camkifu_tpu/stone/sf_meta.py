@@ -227,15 +227,15 @@ def track_read_batch(state: MetaState, frames: jnp.ndarray,
     frames: (B, H, W, 3); seed_corners: (4, 2) from a full detection (the
     host re-detects at bf_period cadence and re-anchors the seed).
     Returns (state, labels, conf, agitation, corners (B, 4, 2),
-    sharpness (B,), new_seed (4, 2)).
+    sharpness (B,), align (B,), new_seed (4, 2)).
     """
     from camkifu_tpu.board.bf_auto import rectify_track_batch
 
-    canon, corners, sharp, new_seed = rectify_track_batch(
+    canon, corners, sharp, align, new_seed = rectify_track_batch(
         frames, seed_corners, gsize=gsize, zone=zone, chunk=chunk)
     new_state, labels, conf, agitation = _scan_canonical(
         state, canon, gsize, zone, neural_params, valid_count)
-    return new_state, labels, conf, agitation, corners, sharp, new_seed
+    return new_state, labels, conf, agitation, corners, sharp, align, new_seed
 
 
 # -- host-side state surgery (human-correction feedback; SURVEY §3.4) --------
@@ -308,13 +308,14 @@ class SfMeta(_SF):
             return super()._doframe(frames, n)
         import jax.numpy as jnp
 
-        (self.state, labels, conf, agitation, corners, sharp,
+        (self.state, labels, conf, agitation, corners, sharp, align,
          new_seed) = track_read_batch(
             self.state, jnp.asarray(frames), seed, gsize=self.gsize,
             neural_params=self.neural_params,
             valid_count=self._valid_arg(frames, n))
         bf.report_tracking(_np.asarray(corners), new_seed,
-                           float(_np.asarray(sharp).mean()))
+                           float(_np.asarray(sharp).mean()),
+                           bf.batch_align(align, sharp))
         self._report(agitation)
         self._consume(labels, n)
 

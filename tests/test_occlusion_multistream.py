@@ -164,7 +164,7 @@ def test_tracked_handheld_game_with_hand_occlusions():
         n = len(chunk)
         while len(chunk) < B:
             chunk.append(chunk[-1])
-        state, labels, conf, agit, _cs, _sharp, seed = \
+        state, labels, conf, agit, _cs, _sharp, _al, seed = \
             sf_meta.track_read_batch(state, jnp.asarray(np.stack(chunk)),
                                      seed)
         for j in range(n):
