@@ -138,15 +138,31 @@ def main() -> None:
     stage_s = time.perf_counter() - t0
     c1080 = jax.device_put(jnp.asarray(corners1080, jnp.float32))
 
+    # Batch 256 for the c2 headline, adopted only once its compile is in
+    # the persistent cache (NEXT r1 item 3: +8% measured, ~5 min cold
+    # compile through the remote-compile tunnel — never pay it inside a
+    # timed run). The marker is written after this run precompiles the
+    # 256 variant in its epilogue, so run N+1 measures at 256.
+    import os as _os
+    b256_marker = _os.path.join(jaxcache.DEFAULT_DIR, ".c2_b256_warm")
+    c2_batch = 256 if _os.path.exists(b256_marker) else batch
+
     # -- c2 (headline): batch stills, detect + classify. Detection runs
     # INSIDE the timed region (VERDICT r1: the metric name says "detect") at
     # the fixed-camera cadence: one full board detection per batch, stone
     # classification on every frame.
+    if c2_batch != batch:
+        f1080_c2 = jax.device_put(jnp.broadcast_to(
+            jnp.asarray(frame1080), (c2_batch,) + frame1080.shape))
+        fence(f1080_c2)
+    else:
+        f1080_c2 = f1080_b
+
     def c2():
-        cs, _ = bf_auto.detect_corners(f1080_b[0])
-        return pipeline.read_board_batch(f1080_b, cs)[0]
+        cs, _ = bf_auto.detect_corners(f1080_c2[0])
+        return pipeline.read_board_batch(f1080_c2, cs)[0]
     c2_s = _timeit(c2, fence)
-    c2_fps = batch / c2_s
+    c2_fps = c2_batch / c2_s
 
     # -- c1: single-still latency (detect + classify, one frame) ------------
     f1 = f1080_b[:1]
@@ -175,8 +191,9 @@ def main() -> None:
     c4_s = _timeit(c4, fence)
     c4_fps = batch / c4_s
     # Honest full-redetection rate: every frame fully re-detected, through
-    # the batch API (stage-1 coarse work vmaps across frames; only the
-    # gather-bound refine runs sequentially — VERDICT r2 item 7).
+    # the batch API (lax.map over the single-frame path — measured faster
+    # than vmapping the coarse stage, which loses the Pallas edge kernel;
+    # see detect_batch's docstring, VERDICT r2 item 7).
     redet_n = 8
     det_s = _timeit(lambda: bf_auto.detect_batch(f1080_b[:redet_n])[0],
                     fence, reps=3)
@@ -213,11 +230,26 @@ def main() -> None:
     agree = ((mp[it, it] > 0) == (mx[it, it] > 0)).mean()
     pallas_parity = bool(agree > 0.995)
 
+    # Epilogue (outside every timed region): precompile the 256-batch c2
+    # kernel into the persistent cache and leave the marker so the next
+    # run measures at 256. Skipped if this run already did.
+    if c2_batch == batch:
+        try:
+            f256 = jax.device_put(jnp.broadcast_to(
+                jnp.asarray(frame1080), (256,) + frame1080.shape))
+            cs256, _ = bf_auto.detect_corners(f256[0])
+            fence(pipeline.read_board_batch(f256, cs256)[0])
+            with open(b256_marker, "w") as fh:
+                fh.write("ok\n")
+        except Exception:
+            pass                       # cold-compile budget exceeded: stay 128
+
     print(json.dumps({
         "metric": "1080p_frames_per_sec_per_chip_detect_classify",
         "value": round(c2_fps, 1),
         "unit": "fps",
         "vs_baseline": round(c2_fps / 30.0, 2),
+        "c2_batch": c2_batch,
         "accuracy_sanity": ok,
         "pallas_parity_on_tpu": pallas_parity,
         "c1_still_ms": round(c1_ms, 2),

@@ -703,11 +703,18 @@ def _detect_prepare(frame: jnp.ndarray, res: int,
 
 @functools.partial(jax.jit, static_argnames=("res", "gsize", "refine_iters"))
 def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
-                   gsize: int = 19, refine_iters: int = 2):
+                   gsize: int = 19, refine_iters: int = 1):
     """One frame (H, W, 3) uint8/float → (corners (4, 2) float32, score).
 
     Corners are the outer grid intersections, tl/tr/br/bl, in frame pixels.
     score < ~0.1 means "no board found" (callers keep the previous estimate).
+
+    refine_iters defaults to 1 since the sub-pixel outer-line pin landed:
+    the second comb iteration existed to remove projective distortion from
+    the even-spacing assumption, which the per-half pin now corrects
+    directly — measured r3 (densities × perspectives × palettes ×
+    hard/real, 720p + 1080p): iters=1 matches or beats iters=2 everywhere
+    at 0.6× the cost (13.4 vs 22.1 ms/frame at 1080p).
     """
     with jax.default_matmul_precision("float32"):
         gray, quad, score = _detect_prepare(frame, res)
@@ -716,7 +723,7 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
 
 
 def _detect_refine(gray: jnp.ndarray, quad: jnp.ndarray, score,
-                   gsize: int, refine_iters: int = 2):
+                   gsize: int, refine_iters: int = 1):
     """Detection stages 2–3 (gather-bound, per frame): comb refinement race
     + slab disambiguation + the sub-pixel outer-line pin."""
     with jax.default_matmul_precision("float32"):
@@ -779,14 +786,19 @@ def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
                  gsize: int = 19):
     """Per-frame detection over a batch → (corners (B, 4, 2), scores (B,)).
 
-    lax.map, not vmap: the Pallas edge kernel cannot be batch-vmapped (the
-    batching rule lands the batch on the lane dim), and detection's gathers
-    hit the varying-index cliff under vmap anyway; the sequential map runs
-    each frame on the fast single-frame path. (Measured r3: vmapping the
-    coarse stage on the XLA edge path costs ~2× the per-frame Pallas path —
-    batch parallelism does not repay the kernel it loses.)
+    A host loop over the jitted single-frame path — deliberately neither
+    vmap nor lax.map. vmap: the Pallas edge kernel cannot be batch-vmapped
+    (the batching rule lands the batch on the lane dim) and detection's
+    gathers hit the varying-index cliff (measured r3: vmapping the coarse
+    stage on the XLA edge path costs ~2× the per-frame Pallas path). lax.map:
+    the scan body re-stages detection's gather/top-k soup ~19× slower than
+    the standalone jit (measured r3: 399 vs 21 ms/frame at 1080p). The host
+    loop queues B independent dispatches (pipelined like the real feeder);
+    every call site is host-level, so nothing needs this inside a jit.
     """
-    return jax.lax.map(lambda f: detect_corners(f, res, gsize=gsize), frames)
+    outs = [detect_corners(f, res, gsize=gsize) for f in frames]
+    return (jnp.stack([c for c, _ in outs]),
+            jnp.stack([s for _, s in outs]))
 
 
 def detect_batch_stable(frames: jnp.ndarray,
