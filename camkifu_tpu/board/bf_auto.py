@@ -455,10 +455,19 @@ def _rect_profiles(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
     SAME seed pay the rectification warp (the expensive part, a res² gather
     + Sobel) once.
     """
+    H, col_profile, row_profile, _ = _rect_profiles_rect(gray, quad, gsize,
+                                                         margin, res)
+    return H, col_profile, row_profile
+
+
+def _rect_profiles_rect(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
+                        margin: float = 0.08, res: int = REFINE_RES):
+    """_rect_profiles that also returns the rectified image itself, for
+    callers that score 2D lattice evidence on the same rectification."""
     H = _rect_H(quad, margin, res)
     rect = _sample_rect(gray, H, res)
     col_profile, row_profile = _profiles_of(rect, gsize)
-    return H, col_profile, row_profile
+    return H, col_profile, row_profile, rect
 
 
 def _rect_H(quad: jnp.ndarray, margin: float, res: int) -> jnp.ndarray:
@@ -674,6 +683,80 @@ def _slab_inset(corners: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(dists).min()
 
 
+def _evidence_map(rect: jnp.ndarray, gsize: int) -> jnp.ndarray:
+    """2D lattice-evidence map on a rectified board image.
+
+    Center-surround (blob-scale minus cell-scale box means) of two signals
+    that both peak ON grid intersections: luma deviation from the wood
+    level (stone bodies sit centered on intersections) and gradient energy
+    (line crossings). Each is rectified and max-normalized so sparse and
+    dense boards score on the same scale.
+
+    Why it exists: the 1D comb profiles that rank refinement candidates go
+    flat on stone-saturated boards (a shrunk/shifted comb matches a smeared
+    profile about as well as the true one — measured collapse to >120 px at
+    220 stones), but a wrong lattice's *interior* points land
+    incommensurately off the true stone centers, so joint 2D evidence at
+    all gsize² intersections still separates the basins.
+    """
+    res = rect.shape[0]
+    from camkifu_tpu.ops.zones import median_u8
+    wood = median_u8(rect[::4, ::4].reshape(1, -1))[0]
+    dev = jnp.abs(rect - wood)
+    gx, gy = sobel(rect)
+    edge = jnp.abs(gx) + jnp.abs(gy)
+    s_cell = res / (gsize + 1.0)
+    r_in = max(1, int(s_cell * 0.18))
+    r_out = max(r_in + 2, int(s_cell * 0.6))
+    cs_dev = _box_blur(dev, r_in) - _box_blur(dev, r_out)
+    cs_edge = _box_blur(edge, r_in) - _box_blur(edge, r_out)
+    return (jnp.maximum(cs_dev, 0.0)
+            / jnp.maximum(jnp.abs(cs_dev).max(), 1e-9)
+            + jnp.maximum(cs_edge, 0.0)
+            / jnp.maximum(jnp.abs(cs_edge).max(), 1e-9))
+
+
+def _lattice_evidence(E: jnp.ndarray, Hinv: jnp.ndarray,
+                      cands: jnp.ndarray, gsize: int) -> jnp.ndarray:
+    """Mean evidence at each candidate's gsize² intersections, all measured
+    in the SEED rect (one consistent measurement across candidates from
+    different refinement iterations — per-iteration rects are not
+    comparable and re-ranking on them is unstable, measured).
+
+    cands: (N, 4, 2) corner quads in frame px; Hinv maps frame → seed rect.
+    """
+    res = E.shape[0]
+    rc = apply_homography(Hinv, cands)                       # (N, 4, 2)
+    iu = jnp.arange(gsize, dtype=jnp.float32) / (gsize - 1.0)
+    u = iu[None, None, :, None]                              # along x
+    v = iu[None, :, None, None]                              # along y
+    tl, tr = rc[:, 0, None, None], rc[:, 1, None, None]
+    br, bl = rc[:, 2, None, None], rc[:, 3, None, None]
+    P = (tl * (1 - u) * (1 - v) + tr * u * (1 - v)
+         + br * u * v + bl * (1 - u) * v)                    # (N, G, G, 2)
+    px = jnp.clip(P[..., 0], 0.0, res - 1.001)
+    py = jnp.clip(P[..., 1], 0.0, res - 1.001)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx, fy = px - x0, py - y0
+    val = (E[y0, x0] * (1 - fx) * (1 - fy)
+           + E[y0, x0 + 1] * fx * (1 - fy)
+           + E[y0 + 1, x0] * (1 - fx) * fy
+           + E[y0 + 1, x0 + 1] * fx * fy)
+    return val.mean(axis=(1, 2))
+
+
+def _rank_evidence(cands: jnp.ndarray, E: jnp.ndarray, Hinv: jnp.ndarray,
+                   quad: jnp.ndarray, cell, gsize: int) -> jnp.ndarray:
+    """Cross-basin candidate ranking: 2D lattice evidence plus a SOFT slab
+    prior (the true outer grid lines sit ≥ ~0.3 cell inside the slab; a
+    hard feasibility gate fails when the coarse quad itself is off and
+    nothing is 'feasible' — measured on keystoned dense boards)."""
+    ev = _lattice_evidence(E, Hinv, cands, gsize)
+    insets = jax.vmap(lambda c: _slab_inset(c, quad))(cands)
+    return ev + jnp.minimum(insets / cell - 0.25, 0.0)
+
+
 def _detect_prepare(frame: jnp.ndarray, res: int,
                     edge_backend: str = "auto"):
     """Detection stage 1 (dense, batchable): gray + coarse board quad.
@@ -709,12 +792,12 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
     Corners are the outer grid intersections, tl/tr/br/bl, in frame pixels.
     score < ~0.1 means "no board found" (callers keep the previous estimate).
 
-    refine_iters defaults to 1 since the sub-pixel outer-line pin landed:
-    the second comb iteration existed to remove projective distortion from
-    the even-spacing assumption, which the per-half pin now corrects
-    directly — measured r3 (densities × perspectives × palettes ×
-    hard/real, 720p + 1080p): iters=1 matches or beats iters=2 everywhere
-    at 0.6× the cost (13.4 vs 22.1 ms/frame at 1080p).
+    refine_iters counts the extra seeded comb races run on the
+    stone-saturated branch only (score ≤ 0.55; see _detect_refine) — on
+    line-dominated boards the sub-pixel outer-line pin subsumes iteration
+    (measured r3, densities × perspectives × palettes × hard/real,
+    720p + 1080p: one race + pin matches or beats two races everywhere at
+    0.6× the cost, 13.4 vs 22.1 ms/frame at 1080p).
     """
     with jax.default_matmul_precision("float32"):
         gray, quad, score = _detect_prepare(frame, res)
@@ -725,60 +808,65 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
 def _detect_refine(gray: jnp.ndarray, quad: jnp.ndarray, score,
                    gsize: int, refine_iters: int = 1):
     """Detection stages 2–3 (gather-bound, per frame): comb refinement race
-    + slab disambiguation + the sub-pixel outer-line pin."""
+    + 2D-evidence disambiguation + the sub-pixel outer-line pin.
+
+    Multi-hypothesis refinement: the comb fit has discrete shifted basins
+    (one tooth on the slab edge instead of a grid line), and no single 1D
+    scoring beats all stone densities — on saturated boards every profile
+    metric goes flat and the old `teeth − gap` ranking promoted
+    shrunk/shifted combs (measured >120 px collapse at 220 stones). All
+    candidates are therefore ranked by joint 2D lattice evidence on the
+    SEED rectification (_rank_evidence), with a soft slab-inset prior.
+
+    Two runtime branches on the coarse score (lax.cond — one executes):
+    - line-dominated boards (score > 0.55): the iteration-1 evidence winner
+      plus the sub-pixel outer-line pin (per-half quadratic fit of the
+      outer lines — kills the coarse-seed comb bias; ≤3 px measured). The
+      pin runs once: it does not contract under iteration (measured — a
+      second pass re-biases through its own fresh rectification).
+    - stone-saturated boards (score ≤ 0.55): `refine_iters` extra comb
+      races seeded on the running evidence winner (a clean re-
+      rectification removes the keystone smear a coarse seed leaves in
+      the profiles), then both pins join the pool; everything is ranked
+      on the one seed-rect evidence map. Measured (stones×perspective
+      stress grid): max error 120→39 px worst case, ≤17 px elsewhere,
+      never worse than the old rule.
+    """
     with jax.default_matmul_precision("float32"):
-        # Multi-hypothesis refinement: the comb fit has discrete shifted
-        # basins (one tooth on the slab edge instead of a grid line), and no
-        # single scoring beats all stone densities — so race both scorings,
-        # iterate each (re-rectifying on detected corners removes projective
-        # distortion from the even-spacing assumption), and disambiguate
-        # with the slab prior: the true outer grid lines sit strictly
-        # *inside* the slab (≥ ~0.3 cell on a real goban); shifted basins
-        # always push a corner onto or past a slab edge.
         cell = jnp.linalg.norm(quad[1] - quad[0]) / (gsize + 0.0)
         gap_weights = (1.0, 0.0)
         # Iteration 1: ONE rectification (same seed quad → identical
-        # profiles), one comb-grid pass shared by both scorings.
-        hcr = _rect_profiles(gray, quad, gsize, margin=0.10)
-        seeds, vc, vq = _fit_combs_multi(*hcr, gsize, gap_weights)
-        variant_cs, variant_qs = [vc], [vq]
-        # Later iterations: each scoring's chain re-rectifies on its own
-        # corners — the G rectification warps run as one vmapped batch
-        # (VERDICT r1 item 3a), and each refined quad races both scorings
-        # (the grids are shared, so extra hypotheses are nearly free).
-        for _ in range(refine_iters - 1):
-            Hs, cps, rps = jax.vmap(
-                lambda q: _rect_profiles(gray, q, gsize, margin=0.18))(seeds)
-            new_seeds = []
-            for g in range(len(gap_weights)):
-                s2, vc, vq = _fit_combs_multi(Hs[g], cps[g], rps[g], gsize,
-                                              gap_weights)
-                new_seeds.append(s2[g])     # chain continues w/ own scoring
-                variant_cs.append(vc)
-                variant_qs.append(vq)
-            seeds = jnp.stack(new_seeds)
+        # profiles), one comb-grid pass shared by both scorings; the
+        # rectified image doubles as the evidence measurement frame.
+        H, colp, rowp, rect = _rect_profiles_rect(gray, quad, gsize,
+                                                  margin=0.10)
+        _, vc1, _ = _fit_combs_multi(H, colp, rowp, gsize, gap_weights)
+        E = _evidence_map(rect, gsize)
+        Hinv = jnp.linalg.inv(H)
+        rank1 = _rank_evidence(vc1, E, Hinv, quad, cell, gsize)
+        w1 = vc1[jnp.argmax(rank1)]
+        pin1 = _pin_corners(gray, w1, gsize)
 
-        cs = jnp.concatenate(variant_cs)                    # (N, 4, 2)
-        qs = jnp.concatenate(variant_qs)                    # (N,)
-        insets = jax.vmap(lambda cand: _slab_inset(cand, quad))(cs)
-        feasible = insets >= 0.25 * cell
-        # Among feasible candidates take the best comb quality; if none is
-        # feasible (slab estimate itself off), fall back to max inset.
-        pick_q = jnp.where(feasible, qs, -jnp.inf)
-        idx = jnp.where(feasible.any(), jnp.argmax(pick_q),
-                        jnp.argmax(insets))
-        corners = cs[idx]
-        # Final sub-pixel pin on the winner (per-half quadratic fit of the
-        # outer lines — kills the coarse-seed comb bias). Once: like the
-        # comb refine, the pin does not contract under iteration (measured:
-        # a second pass re-biases through its own fresh rectification).
-        # Gated on the coarse score: stone-saturated boards (low score)
-        # have ridge-noise profiles where the snapped teeth agree on a
-        # smoothly WRONG lattice — there the pooled comb is the safer
-        # estimate (measured: pin 13.6 px vs comb 10.2 px max at 250
-        # stones, vs pin ≤3 px everywhere line-dominated).
-        pinned = _pin_corners(gray, corners, gsize)
-        corners = jnp.where(score > 0.55, pinned, corners)
+        def line_dominated(_):
+            return pin1
+
+        def stone_saturated(_):
+            cands, ranks, w = vc1, rank1, w1
+            for _ in range(max(refine_iters, 1)):
+                H2, c2, r2 = _rect_profiles(gray, w, gsize, margin=0.10)
+                _, vc2, _ = _fit_combs_multi(H2, c2, r2, gsize, gap_weights)
+                cands = jnp.concatenate([cands, vc2])
+                ranks = jnp.concatenate(
+                    [ranks, _rank_evidence(vc2, E, Hinv, quad, cell, gsize)])
+                w = cands[jnp.argmax(ranks)]
+            pins = jnp.stack([pin1, _pin_corners(gray, w, gsize)])
+            cands = jnp.concatenate([cands, pins])
+            ranks = jnp.concatenate(
+                [ranks, _rank_evidence(pins, E, Hinv, quad, cell, gsize)])
+            return cands[jnp.argmax(ranks)]
+
+        corners = jax.lax.cond(score > 0.55, line_dominated,
+                               stone_saturated, None)
         return corners.astype(jnp.float32)
 
 
