@@ -145,10 +145,9 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
             from camkifu_tpu.stone import sf_meta
             if state is None:
                 state = sf_meta.init_state(gsize=gsize)
-                # Same opt-in neural voter as the SfMeta runtime host: a
-                # user-trained checkpoint always joins; the BUNDLED one
-                # only with CAMKIFU_NEURAL=1 (post-ablation default —
-                # models/neural.load_params). --no-neural ablates both.
+                # Same opt-in neural voter as the SfMeta runtime host:
+                # only a user-trained checkpoint joins (none is shipped —
+                # two tied ablations, PERF.md); --no-neural ablates it.
                 neural_params = None
                 if use_neural:
                     try:
@@ -292,9 +291,8 @@ def main(argv=None) -> int:
                     help="host decode workers for video files")
     ap.add_argument("--no-neural", action="store_true",
                     help="ablate the neural voter (classical ensemble only; "
-                         "note the bundled checkpoint already needs "
-                         "CAMKIFU_NEURAL=1 to join — only a user-trained "
-                         "checkpoint participates by default)")
+                         "the voter participates only when a user-trained "
+                         "cktrain checkpoint exists)")
     ap.add_argument("--oracle", choices=("tpu", "cv2", "both"),
                     default="tpu",
                     help="which pipeline to score: the TPU pipeline, the "

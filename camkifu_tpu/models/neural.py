@@ -160,11 +160,6 @@ def train(patches, labels, epochs: int = 3, batch: int = 2048,
 
 DEFAULT_CKPT = os.path.expanduser("~/.camkifu_tpu/sf_neural_ckpt")
 
-#: Checkpoint shipped with the package (trained by cktrain on the synthetic
-#: multi-palette + degradation harvest); a user-trained DEFAULT_CKPT wins.
-BUNDLED_CKPT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "assets", "sf_neural_ckpt")
-
 
 def save_params(params, path: str = DEFAULT_CKPT) -> None:
     import orbax.checkpoint as ocp
@@ -175,25 +170,21 @@ def save_params(params, path: str = DEFAULT_CKPT) -> None:
     ckptr.wait_until_finished()
 
 
-def load_params(path: str = DEFAULT_CKPT, include_bundled: bool | None = None):
-    """Load the neural classifier weights, or None if none apply.
+def load_params(path: str = DEFAULT_CKPT):
+    """Load the neural classifier weights, or None if no checkpoint exists.
 
-    A user-trained DEFAULT_CKPT always loads. The BUNDLED checkpoint joins
-    only on request (``include_bundled=True`` or env CAMKIFU_NEURAL=1): the
-    r2 ablation sweep (PERF.md) showed the classical ensemble already
-    saturates every synthetic config — 20/20 with and without the voter —
-    so the bundled net must not silently change (and slow) every run; it
-    remains available for real-footage conditions the classical stack may
-    not cover.
+    Only a user-trained checkpoint (``cktrain``) participates: two ablation
+    sweeps (PERF.md — r2 flat-shaded synth and r3 realism synth, the latter
+    with the net retrained on that domain) showed the classical ensemble
+    already saturates every measurable config with and without the voter,
+    so no pretrained checkpoint is shipped — it would silently slow every
+    run while changing nothing. The model + trainer stay for footage whose
+    conditions the classical stack does not cover (train there, drop the
+    checkpoint in DEFAULT_CKPT, and SfMeta picks it up as a third voter).
     """
     import orbax.checkpoint as ocp
 
-    if include_bundled is None:
-        include_bundled = os.environ.get("CAMKIFU_NEURAL", "0") == "1"
     path = os.path.abspath(os.path.expanduser(path))
-    if not os.path.isdir(path) and include_bundled and path == os.path.abspath(
-            os.path.expanduser(DEFAULT_CKPT)):
-        path = BUNDLED_CKPT                    # packaged fallback
     if not os.path.isdir(path):
         return None
     ckptr = ocp.StandardCheckpointer()

@@ -46,11 +46,12 @@ def classify_batch_neural(params, frames, corners,
 
 
 def get_or_train_params(log=None, quick: bool = False):
-    """Load the checkpoint, or bootstrap-train on synthetic boards.
+    """Load the user checkpoint, or bootstrap-train on synthetic boards.
 
-    The bundled checkpoint counts here: choosing the 'neural' finder is an
-    explicit request for the net (unlike SfMeta's opt-in third voter)."""
-    params = neural.load_params(include_bundled=True)
+    Choosing the 'neural' finder is an explicit request for the net, so a
+    missing checkpoint triggers a quick bootstrap train rather than a no-op
+    (no pretrained checkpoint ships — PERF.md ablations)."""
+    params = neural.load_params()
     if params is not None:
         return params
     n_boards = 8 if quick else 48
