@@ -1292,7 +1292,10 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
         from camkifu_tpu.ops.warp import _inv3
 
         def body(carry, frames_chunk):
-            seed, ref_col, ref_row, e_lock, ref_ok = carry
+            seed, ref_col, ref_row, ref_ok = carry
+            # Lock residual is chunk-local: the handoff re-anchors on
+            # measured corners, so no correction carries across chunks.
+            e_lock = jnp.zeros((2,), jnp.float32)
             H = _rect_H(seed, TRACK_MARGIN, res)
             # Where the seed corners ACTUALLY land in rect coords — not the
             # analytic (o0, s0): the frame-space margin expansion is not
@@ -1375,16 +1378,12 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
                 ref_row, anchor[1] - anchor2[1]) \
                 + TRACK_REF_EMA * _profile_shift(
                     rows[-1], anchor[1] + dy[-1] - anchor2[1])
-            # After re-anchoring on measured corners the next chunk's lock
-            # residual restarts near zero.
-            return ((new_seed, new_ref_col, new_ref_row,
-                     jnp.zeros((2,), jnp.float32), jnp.bool_(True)),
+            return ((new_seed, new_ref_col, new_ref_row, jnp.bool_(True)),
                     (cs, sharp, align))
 
         carry0 = (seed_corners.astype(jnp.float32),
                   jnp.zeros((res,), jnp.float32),
-                  jnp.zeros((res,), jnp.float32),
-                  jnp.zeros((2,), jnp.float32), jnp.bool_(False))
+                  jnp.zeros((res,), jnp.float32), jnp.bool_(False))
         _, (cs, sharp, align) = jax.lax.scan(body, carry0, gc)
         new_seed = cs[-1, -1]
         cs = cs.reshape(k * chunk, 4, 2)[:b]
@@ -1449,7 +1448,9 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
         grid = jnp.stack([uu, vv], axis=-1)
 
         def body(carry, frames_chunk):
-            seed, ref_col, ref_row, e_lock, ref_ok = carry
+            seed, ref_col, ref_row, ref_ok = carry
+            # Lock residual is chunk-local (see track_corners_batch.body).
+            e_lock = jnp.zeros((2,), jnp.float32)
             H = homography_dlt(anchors, seed)
             src = apply_homography(H, grid)
             rect = jax.vmap(lambda f: bilinear_sample(
@@ -1505,11 +1506,20 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
 
             # Canonical crop at the integer offset (per-frame dynamic slice,
             # sequential over the chunk — tiny DMAs, no batched gather),
-            # then sub-pixel shift by the fractional remainder.
-            ix = jnp.clip(jnp.round(dx), -(pad - 1), pad - 1)
-            iy = jnp.clip(jnp.round(dy), -(pad - 1), pad - 1)
-            fx = dx - ix
-            fy = dy - iy
+            # then sub-pixel shift by the fractional remainder. The crop
+            # offset is clamped to the pad-1 integer headroom + the ±2 px
+            # _subpixel_shift range FIRST: dx = correlation (≤ S) + lattice
+            # lock can exceed pad-1, and an unclamped fractional remainder
+            # would silently saturate inside _subpixel_shift, mis-cropping
+            # the whole chunk. Beyond the clamp the canvas simply does not
+            # contain the needed pixels; the corner outputs keep the true
+            # (unclamped) measurement and the next re-anchor recovers.
+            dxc = jnp.clip(dx, -(pad + 1.0), pad + 1.0)
+            dyc = jnp.clip(dy, -(pad + 1.0), pad + 1.0)
+            ix = jnp.clip(jnp.round(dxc), -(pad - 1), pad - 1)
+            iy = jnp.clip(jnp.round(dyc), -(pad - 1), pad - 1)
+            fx = dxc - ix
+            fy = dyc - iy
 
             def crop(_, x):
                 r, ix_i, iy_i, fx_i, fy_i = x
@@ -1533,14 +1543,12 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
                 + TRACK_REF_EMA * _profile_shift(cols[-1], dx[-1])
             new_ref_row = (1 - TRACK_REF_EMA) * ref_row \
                 + TRACK_REF_EMA * _profile_shift(rows[-1], dy[-1])
-            return ((new_seed, new_ref_col, new_ref_row,
-                     jnp.zeros((2,), jnp.float32), jnp.bool_(True)),
+            return ((new_seed, new_ref_col, new_ref_row, jnp.bool_(True)),
                     (canon, cs, sharp, align))
 
         carry0 = (seed_corners.astype(jnp.float32),
                   jnp.zeros((E,), jnp.float32),
-                  jnp.zeros((E,), jnp.float32),
-                  jnp.zeros((2,), jnp.float32), jnp.bool_(False))
+                  jnp.zeros((E,), jnp.float32), jnp.bool_(False))
         _, (canon, cs, sharp, align) = jax.lax.scan(body, carry0, fc)
         new_seed = cs[-1, -1]
         canon = canon.reshape((k * chunk,) + canon.shape[2:])[:b]

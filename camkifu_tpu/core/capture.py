@@ -156,6 +156,7 @@ class ParallelFileCapture(CaptureBase):
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._stop = threading.Event()
+        self._released = False             # terminal, unlike a seek teardown
         self._gen = 0                      # pipeline generation (seek safety)
         self._buf: list[np.ndarray] = []   # decoded, in-order, not yet read
         self._start_pipeline(start_frame=0)
@@ -242,6 +243,14 @@ class ParallelFileCapture(CaptureBase):
                     self._emit += 1
                     self._cond.notify_all()
                 elif self._stop.is_set():
+                    if self._released:
+                        # Terminal teardown (release()): no new generation
+                        # is coming — deliver what is buffered and report
+                        # end-of-stream instead of waiting forever.
+                        chunk, self._buf = self._buf[:n], self._buf[n:]
+                        self.pos += len(chunk)
+                        return (np.stack(chunk) if chunk else
+                                np.zeros((0, 1, 1, 3), np.uint8)), True
                     # A concurrent seek (set_position) is tearing the
                     # pipeline down; wait for the new generation rather than
                     # mistaking the teardown for worker death.
@@ -289,6 +298,7 @@ class ParallelFileCapture(CaptureBase):
         return self.pos / self.total if self.total > 0 else 0.0
 
     def release(self) -> None:
+        self._released = True
         self._stop.set()
         with self._cond:
             self._cond.notify_all()

@@ -34,6 +34,7 @@ class DeviceFeeder:
 
         from camkifu_tpu.core.capture import pad_batch
 
+        err = None
         try:
             done = False
             while not done and not self._stop.is_set():
@@ -50,16 +51,24 @@ class DeviceFeeder:
                     self._q.put((dev, n, done, frames[n - 1]))
                 elif done:
                     break
+        except BaseException as exc:       # noqa: BLE001 — relayed, not eaten
+            err = exc
         finally:
-            # The sentinel must be enqueued even if read_batch/device_put
-            # raises, or the consumer blocks on the queue forever.
-            self._q.put(None)                # end-of-stream sentinel
+            # A sentinel must be enqueued even if read_batch/device_put
+            # raises, or the consumer blocks on the queue forever. The
+            # failure itself rides the sentinel: plain None would make a
+            # decode error (corrupt file, camera unplug) indistinguishable
+            # from clean end-of-video, silently truncating the game.
+            self._q.put(err)     # None = end-of-stream; exception = failure
 
     def __iter__(self):
         while True:
             item = self._q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise RuntimeError("video capture failed "
+                                   "mid-stream") from item
             yield item
 
     def close(self) -> None:

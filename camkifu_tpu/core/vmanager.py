@@ -200,7 +200,7 @@ class VManager(VManagerBase):
 
         feeder = DeviceFeeder(self.capture, self.batch)
         try:
-            for frames, n, done, last_host in feeder:
+            for frames, n, done, last_host in self._relay_errors(feeder):
                 if self._stop.is_set():
                     break
                 bf, sf = self.board_finder, self.stones_finder
@@ -220,6 +220,14 @@ class VManager(VManagerBase):
         finally:
             feeder.close()
             self._stop.set()
+
+    def _relay_errors(self, feeder):
+        """Forward feeder batches; surface a mid-stream capture failure to
+        the GUI (the feeder raises instead of faking end-of-stream)."""
+        try:
+            yield from feeder
+        except RuntimeError as exc:
+            self.error_to_gui(f"capture failed: {exc.__cause__ or exc}")
 
     def is_running(self) -> bool:
         return self._thread is not None and self._thread.is_alive()

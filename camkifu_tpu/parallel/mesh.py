@@ -105,6 +105,31 @@ def _track_all_streams(states, frames, seeds, gsize, zone):
         (states, frames, seeds))
 
 
+#: (mesh, gsize, zone) → jitted shard_map of _track_all_streams. jax.jit
+#: caches by callable identity, so building the shard_map wrapper inside
+#: multistream_track_read would re-trace the whole fused tracker on every
+#: batch; the memo restores the once-per-config compile the module-level
+#: @jit entry points get for free.
+_track_fns: dict = {}
+
+
+def _track_fn(mesh: Mesh, gsize: int, zone: int):
+    key = (mesh, gsize, zone)
+    fn = _track_fns.get(key)
+    if fn is None:
+        spec = P("stream")
+        # check_vma off: the tracker's lax.scan carries bootstrap from
+        # replicated constants (zeros) but become stream-varying after one
+        # step, which the varying-manual-axes analysis rejects even though
+        # every stream is fully independent (no cross-device communication
+        # exists for it to validate).
+        fn = _track_fns[key] = jax.jit(jax.shard_map(
+            functools.partial(_track_all_streams, gsize=gsize, zone=zone),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False))
+    return fn
+
+
 def multistream_track_read(mesh: Mesh, states, frames: jnp.ndarray,
                            seeds: jnp.ndarray,
                            gsize: int = guiconf.gsize,
@@ -130,18 +155,8 @@ def multistream_track_read(mesh: Mesh, states, frames: jnp.ndarray,
     states = jax.tree.map(lambda leaf: jax.device_put(leaf, sh), states)
     frames = jax.device_put(frames, sh)
     seeds = jax.device_put(seeds, sh)
-    spec = P("stream")
-    # check_vma off: the tracker's lax.scan carries bootstrap from
-    # replicated constants (zeros) but become stream-varying after one
-    # step, which the varying-manual-axes analysis rejects even though
-    # every stream is fully independent (no cross-device communication
-    # exists for it to validate).
-    fn = jax.shard_map(
-        functools.partial(_track_all_streams, gsize=gsize, zone=zone),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False)
     with mesh:
-        return jax.jit(fn)(states, frames, seeds)
+        return _track_fn(mesh, gsize, zone)(states, frames, seeds)
 
 
 def multistream_read_meta(mesh: Mesh, states, frames: jnp.ndarray,

@@ -293,19 +293,28 @@ def encode_roundtrip(frames, codec: str = "mp4v", fps: int = 25,
 
     import cv2
 
-    frames = list(frames)
-    h, w = frames[0].shape[:2]
     own = path is None
     if own:
         fd, path = tempfile.mkstemp(suffix=".mp4")
         os.close(fd)
     try:
-        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec), fps,
-                             (w, h))
-        if not vw.isOpened():
-            raise RuntimeError(f"VideoWriter failed for codec {codec!r}")
+        # Stream rendered frames straight into the encoder: materializing
+        # the full game on both sides of the codec would double the peak
+        # host RSS (a synth:100 realism game at 720p is ~2 GB per side).
+        vw = None
+        n_in = 0
         for f in frames:
+            if vw is None:
+                h, w = f.shape[:2]
+                vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec),
+                                     fps, (w, h))
+                if not vw.isOpened():
+                    raise RuntimeError(
+                        f"VideoWriter failed for codec {codec!r}")
             vw.write(f[:, :, ::-1])
+            n_in += 1
+        if vw is None:
+            raise RuntimeError("encode round-trip got no frames")
         vw.release()
         cap = cv2.VideoCapture(path)
         out = []
@@ -318,9 +327,9 @@ def encode_roundtrip(frames, codec: str = "mp4v", fps: int = 25,
     finally:
         if own:
             os.unlink(path)
-    if len(out) != len(frames):
+    if len(out) != n_in:
         raise RuntimeError(
-            f"encode round-trip dropped frames: {len(frames)} in, "
+            f"encode round-trip dropped frames: {n_in} in, "
             f"{len(out)} out")
     return out
 
