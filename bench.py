@@ -79,6 +79,48 @@ def _probe_tunnel(jax, jnp, np, fence):
     return dispatch_ms, staging_mbps
 
 
+FIRST_CONTACT_BUDGET_S = 900.0
+
+
+def _first_contact(jax, np, fence):
+    """Bounded first touch of the device.
+
+    The axon tunnel can hang INDEFINITELY at backend init (observed r3:
+    ``jax.devices()`` never returning for 10+ minutes), which would leave
+    the driver with no bench artifact at all. Run backend init + the
+    session's first transfer (which also absorbs the 1–4 min degraded-
+    tunnel handshake) on a watchdogged daemon thread; on timeout or error,
+    emit an honest error JSON line and exit non-zero instead of hanging.
+    """
+    import threading
+
+    done = threading.Event()
+    err: list = []
+
+    def _try():
+        try:
+            fence(jax.device_put(np.ones((1024, 1024), np.uint8)))
+        except Exception as e:                        # pragma: no cover
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=_try, daemon=True)
+    t.start()
+    if not done.wait(FIRST_CONTACT_BUDGET_S) or err:
+        import os
+        print(json.dumps({
+            "metric": "1080p_frames_per_sec_per_chip_detect_classify",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": (f"device init failed: {err[0]!r}" if err else
+                      f"tpu tunnel unreachable: no first contact within "
+                      f"{FIRST_CONTACT_BUDGET_S:.0f}s"),
+        }), flush=True)
+        os._exit(1)
+
+
 def _wait_for_healthy_tunnel(jax, jnp, np, fence):
     """Re-probe (bounded by PROBE_BUDGET_S) until the tunnel looks healthy;
     returns (dispatch_ms, staging_MBps, degraded) of the best attempt seen.
@@ -87,8 +129,7 @@ def _wait_for_healthy_tunnel(jax, jnp, np, fence):
     between sessions; benchmarking through a degraded tunnel measures the
     tunnel (BENCH_r01: c3/c4 at 8.7 MB/s staging). Gate, don't hope.
     """
-    # Absorb the session's first-transfer handshake before timing anything.
-    fence(jax.device_put(np.ones((1024, 1024), np.uint8)))
+    # First-transfer handshake was absorbed by _first_contact.
     deadline = time.perf_counter() + PROBE_BUDGET_S
     best = (float("inf"), 0.0)
     while True:
@@ -127,8 +168,10 @@ def main() -> None:
 
     fence = lambda x: np.asarray(jax.tree.leaves(x)[0])
 
-    # Tunnel health gate: wait (bounded) for a healthy tunnel before
+    # Bounded backend init + handshake (the tunnel can hang forever), then
+    # the health gate: wait (bounded) for a healthy tunnel before
     # measuring; emit the probe numbers + a degraded flag either way.
+    _first_contact(jax, np, fence)
     dispatch_ms, staging_probe_mbps, degraded = _wait_for_healthy_tunnel(
         jax, jnp, np, fence)
 
