@@ -381,6 +381,97 @@ def test_ui_save_and_open_roundtrip(fake_tk, tmp_path, monkeypatch):
     assert c2.stones()[3, 3] == 1
 
 
+# ---------------------------------------------------------------------------
+# Video preview window (frame display + manual-click forwarding), headless.
+# ---------------------------------------------------------------------------
+
+
+class _FakePhoto:
+    last = None
+
+    def __init__(self, data=None, format=None):
+        self.data = data
+        self.format = format
+        _FakePhoto.last = self
+
+
+@pytest.fixture
+def fake_toplevel(monkeypatch):
+    after_calls: list = []
+    monkeypatch.setattr(tk.Toplevel, "__init__",
+                        lambda self, master=None, **kw: None)
+    monkeypatch.setattr(tk.Toplevel, "title", lambda self, t: None)
+    monkeypatch.setattr(tk.Toplevel, "protocol",
+                        lambda self, name, fn: None)
+    monkeypatch.setattr(tk.Toplevel, "after",
+                        lambda self, ms, fn: after_calls.append((ms, fn)))
+    monkeypatch.setattr(tk, "PhotoImage", _FakePhoto)
+
+    class _FakeLabel:
+        def __init__(self, master=None, **kw):
+            self.bound = {}
+            self.image = None
+
+        def pack(self, **kw):
+            pass
+
+        def bind(self, seq, fn):
+            self.bound[seq] = fn
+
+        def configure(self, image=None, **kw):
+            self.image = image
+
+    monkeypatch.setattr(tk, "Label", _FakeLabel)
+    return after_calls
+
+
+def test_video_window_renders_overlay_and_scales_clicks(fake_toplevel):
+    import numpy as np
+
+    from camkifu_tpu.gui.video_window import MAX_W, VideoWindow
+
+    clicks: list = []
+    bf = type("BF", (), {
+        "corners_array": np.array([[100.0, 50.0], [200.0, 50.0],
+                                   [200.0, 150.0], [100.0, 150.0]]),
+        "metadata": {"detect": "0.9"},
+        "onclick": lambda self, x, y: clicks.append((x, y)),
+    })()
+    vm = type("VM", (), {})()
+    vm.board_finder = bf
+    vm.last_frame = np.zeros((240, 320, 3), np.uint8)
+
+    win = VideoWindow(None, vm)
+    # One tick ran at construction: a PPM photo of the full-size frame went
+    # to the label, corner overlays drawn into the pixels.
+    assert win.label.image is _FakePhoto.last
+    assert _FakePhoto.last.format == "PPM"
+    assert _FakePhoto.last.data.startswith(b"P6 320 240 255 ")
+    annotated = np.frombuffer(
+        _FakePhoto.last.data[len(b"P6 320 240 255 "):],
+        np.uint8).reshape(240, 320, 3)
+    # The corner-circle stroke (red 255,40,40) touches the corner vicinity.
+    patch = annotated[42:58, 92:108]
+    assert (patch[..., 0] == 255).any() and win.scale == 1.0
+
+    # Clicks forward to the manual finder in FRAME coordinates.
+    win._on_click(_Event(150, 100))
+    assert clicks[-1] == (150.0, 100.0)
+
+    # Wide frames downscale for display; clicks re-scale back to frame px.
+    vm.last_frame = np.zeros((540, 1920, 3), np.uint8)
+    win._tick()
+    step = int(np.ceil(1920 / MAX_W))
+    assert win.scale == 1.0 / step
+    assert _FakePhoto.last.data.startswith(
+        f"P6 {1920 // step} {540 // step} 255 ".encode())
+    win._on_click(_Event(100, 60))
+    assert clicks[-1] == (100.0 * step, 60.0 * step)
+
+    # The refresh loop re-arms itself on the Tk after-timer.
+    assert fake_toplevel and all(ms == 100 for ms, _ in fake_toplevel)
+
+
 def test_right_click_delete(goban):
     widget, controller, rec, corrections = goban
     controller.pipe("append", Move("np", (B, 4, 4)))
