@@ -176,3 +176,81 @@ def test_parallel_file_capture_seek(tmp_path):
     assert (got == want).all()
     par.release()
     seq.release()
+
+
+def test_parallel_capture_release_during_blocked_read(tmp_path):
+    """release() while a reader is blocked must deliver what is buffered and
+    report end-of-stream — not wait forever for a generation that never
+    comes (ADVICE r2 / d5116f1 hardening)."""
+    import threading
+
+    from camkifu_tpu.core.capture import ParallelFileCapture
+
+    path = _write_mp4(tmp_path, n=60)
+    par = ParallelFileCapture(path, workers=2, segment=16)
+    got = {}
+
+    def reader():
+        # Ask for more frames than the file holds: without the terminal
+        # teardown branch this blocks forever once release() stops workers.
+        got["out"] = par.read_batch(1000)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    time.sleep(0.3)                      # let the reader block mid-wait
+    par.release()
+    t.join(timeout=5.0)
+    assert not t.is_alive(), "read_batch never returned after release()"
+    frames, done = got["out"]
+    assert done
+    assert frames.shape[0] <= 60
+
+
+def test_device_feeder_relays_midstream_capture_failure():
+    """A capture error mid-stream must surface as an exception to the
+    consumer, not masquerade as clean end-of-video (silent truncation)."""
+    import pytest as _pytest
+
+    from camkifu_tpu.core.feeder import DeviceFeeder
+
+    class ExplodingCapture:
+        def __init__(self):
+            self.calls = 0
+
+        def read_batch(self, n):
+            self.calls += 1
+            if self.calls == 1:
+                return np.zeros((n, 8, 8, 3), np.uint8), False
+            raise RuntimeError("all decode workers exited (simulated)")
+
+    feeder = DeviceFeeder(ExplodingCapture(), batch=4)
+    it = iter(feeder)
+    frames, n, done, last = next(it)      # the good batch arrives intact
+    assert n == 4 and not done
+    with _pytest.raises(RuntimeError, match="mid-stream") as exc:
+        next(it)
+    assert "simulated" in str(exc.value.__cause__)
+    feeder.close()
+
+
+def test_vmanager_surfaces_capture_failure_to_gui():
+    """The threaded manager forwards a feeder failure to the GUI status
+    channel instead of dying silently."""
+    from camkifu_tpu.core.controllerv import ControllerVSeq
+    from camkifu_tpu.core.vmanager import VManager
+
+    controller = ControllerVSeq()
+    events = []
+    controller.listeners.append(lambda ev, *a: events.append((ev, a)))
+    vm = VManager(controller, video=None)
+
+    def broken_feeder():
+        yield (None, 0, False, None)
+        raise RuntimeError("video capture failed mid-stream") from OSError(
+            "camera unplugged")
+
+    out = list(vm._relay_errors(broken_feeder()))
+    assert len(out) == 1
+    controller.process_pipe()
+    assert any(ev == "error" and "camera unplugged" in str(a)
+               for ev, a in events)
