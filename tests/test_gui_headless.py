@@ -382,6 +382,102 @@ def test_ui_save_and_open_roundtrip(fake_tk, tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# App entry points (glmain / ckmain --gui) on a fake Tk root.
+# ---------------------------------------------------------------------------
+
+
+class _FakeRoot(_FakeMaster):
+    """Stands in for tk.Tk(): runs the after()-scheduled callbacks as a mini
+    event loop until a stop predicate (set by the test) returns True."""
+
+    stop_when = staticmethod(lambda: True)
+    last = None
+
+    def __init__(self):
+        super().__init__()
+        _FakeRoot.last = self
+
+    def title(self, t):
+        self._title = t
+
+    def mainloop(self, n: int = 0):
+        import time as _time
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not _FakeRoot.stop_when():
+            pending, self.after_calls = self.after_calls, []
+            for _ms, fn in pending:
+                fn()
+            _time.sleep(0.02)
+        # A final drain pass so queued vision moves reach the kifu.
+        pending, self.after_calls = self.after_calls, []
+        for _ms, fn in pending:
+            fn()
+
+
+def test_glmain_editor_opens_and_saves(fake_tk, monkeypatch, tmp_path):
+    from camkifu_tpu import glmain
+    from camkifu_tpu.gamemodel.kifu import Kifu
+
+    path = str(tmp_path / "edit.sgf")
+    k = Kifu()
+    k.append(Move("np", (B, 3, 3)))
+    k.save(path)
+
+    monkeypatch.setattr(tk, "Tk", _FakeRoot)
+    _FakeRoot.stop_when = staticmethod(lambda: True)
+    assert glmain.main([path]) == 0
+    root = _FakeRoot.last
+    assert root._title.startswith("glmain")
+    # The loaded game rendered onto the (recorded) goban canvas.
+    assert any(k.get("fill") == "#111" for a, k in fake_tk.ovals())
+
+
+def test_ckmain_gui_app_end_to_end(fake_tk, monkeypatch):
+    """The full GUI app path: ckmain.main_gui wires ControllerV + threaded
+    VManager + VUI, vision_on processes the film, the pipe drains on the
+    (fake) Tk loop, and teardown autosaves cleanly."""
+    import numpy as np
+
+    import camkifu_tpu.gui.vui as vui_mod
+    from camkifu_tpu import ckmain
+    from camkifu_tpu.board.bf_manual import BoardFinderManual
+    from camkifu_tpu.stone.sf_clustering import SfClustering
+    from camkifu_tpu.utils import synth
+
+    moves = synth.sample_moves(3, seed=13)
+    frames = np.stack([f for f, _ in synth.render_game(
+        moves, frames_per_move=2, frame_hw=(360, 640), empty_leadin=1,
+        seed=13)])
+    corners = synth.default_corners((360, 640))
+
+    built: list = []
+
+    class CapturingVUI(vui_mod.VUI):
+        def __init__(self, master, controller, vmanager):
+            super().__init__(master, controller, vmanager)
+            built.append(self)
+
+    monkeypatch.setattr(vui_mod, "VUI", CapturingVUI)
+    monkeypatch.setattr(tk, "Tk", _FakeRoot)
+    _FakeRoot.stop_when = staticmethod(
+        lambda: bool(built) and not built[0].vmanager.is_running())
+
+    # Manual corners arrive exactly as ckmain --corners delivers them.
+    args = ckmain.get_argparser().parse_args(["-v", "ignored", "--batch", "8"])
+    args.video = frames
+    rc = ckmain.main_gui(args, BoardFinderManual, SfClustering,
+                         corners=np.asarray(corners, np.float32))
+    assert rc == 0
+    vui = built[0]
+    got = [(m.color, m.row, m.col) for m in vui.controller.kifu.moves()]
+    assert got == [(m.color, m.row, m.col) for m in moves]
+    # Detected stones rendered onto the goban canvas through the drain loop.
+    assert any(k.get("fill") in ("#111", "#f4f4f4")
+               for a, k in fake_tk.ovals())
+
+
+# ---------------------------------------------------------------------------
 # Video preview window (frame display + manual-click forwarding), headless.
 # ---------------------------------------------------------------------------
 
