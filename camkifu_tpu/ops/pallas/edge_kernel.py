@@ -40,8 +40,7 @@ def _shift(x, dy, dx):
     return out
 
 
-def _edge_kernel(img_ref, out_ref, *, taps):
-    x = img_ref[:]
+def _edge_compute(x, taps):
     # Separable Gaussian blur (shift + multiply-accumulate on the VPU).
     r = (len(taps) - 1) // 2
     acc = jnp.zeros_like(x)
@@ -95,7 +94,17 @@ def _edge_kernel(img_ref, out_ref, *, taps):
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = ((rows >= BORDER) & (rows < h - BORDER)
                 & (cols >= BORDER) & (cols < w - BORDER))
-    out_ref[:] = jnp.where(interior, out, 0.0)
+    return jnp.where(interior, out, 0.0)
+
+
+def _edge_kernel(img_ref, out_ref, *, taps):
+    out_ref[:] = _edge_compute(img_ref[:], taps)
+
+
+def _edge_kernel_batch(img_ref, out_ref, *, taps):
+    # One grid step per frame: the (1, H, W) block squeezes to the same
+    # whole-image VPU computation as the single-frame kernel.
+    out_ref[0] = _edge_compute(img_ref[0], taps)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
@@ -108,5 +117,30 @@ def edge_magnitude(gray: jnp.ndarray, sigma: float = 1.4,
         out_shape=jax.ShapeDtypeStruct(gray.shape, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(gray.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
+def edge_magnitude_batch(gray: jnp.ndarray, sigma: float = 1.4,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Batched fused edges: (B, H, W) gray in [0, 1] → (B, H, W) magnitudes.
+
+    The single-frame kernel cannot be vmapped (the batching rule lands the
+    batch on the lane dimension); this variant runs one grid step per frame
+    instead — same VPU body, VMEM-resident block per step — so the batched
+    detection coarse stage keeps the Pallas path instead of falling back to
+    XLA (measured r3: the XLA edge path costs ~2× per frame under vmap).
+    """
+    taps = tuple(float(t) for t in gaussian_kernel1d(sigma))
+    b, h, w = gray.shape
+    return pl.pallas_call(
+        functools.partial(_edge_kernel_batch, taps=taps),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(gray.astype(jnp.float32))

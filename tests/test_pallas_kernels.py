@@ -71,3 +71,25 @@ def test_warp_kernel_matches_xla():
     ours = np.asarray(warp_to_canonical_pallas(
         jnp.asarray(frame), jnp.asarray(corners), interpret=True))
     assert np.abs(ref - ours).max() < 0.05
+
+
+def test_edge_kernel_batch_matches_single_frame():
+    """The batch-grid variant (one grid step per frame) must reproduce the
+    single-frame kernel exactly on every frame of a varied batch."""
+    from camkifu_tpu.ops.pallas.edge_kernel import edge_magnitude_batch
+
+    labels = np.zeros((19, 19), np.int8)
+    labels[3, 4] = 1
+    labels[9, 9] = 2
+    frames = []
+    for hw, noise in (((480, 854), 0), ((360, 640), 4), ((480, 854), 7)):
+        f, _ = synth.render_frame(labels, frame_hw=(480, 854), noise=noise)
+        frames.append(f)
+    grays = jnp.stack([
+        jax.image.resize(rgb_to_gray(to_float(jnp.asarray(f))), (256, 256),
+                         method="bilinear") for f in frames])
+
+    batched = np.asarray(edge_magnitude_batch(grays, interpret=True))
+    for i in range(grays.shape[0]):
+        single = np.asarray(edge_magnitude(grays[i], interpret=True))
+        assert np.allclose(batched[i], single, atol=1e-5), f"frame {i}"
