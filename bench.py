@@ -243,10 +243,10 @@ def main() -> None:
         return sf_meta.track_read_batch(state0, f1080_b, seed)[1]
     c4_s = _timeit(c4, fence)
     c4_fps = batch / c4_s
-    # Honest full-redetection rate: every frame fully re-detected, through
-    # the batch API (lax.map over the single-frame path — measured faster
-    # than vmapping the coarse stage, which loses the Pallas edge kernel;
-    # see detect_batch's docstring, VERDICT r2 item 7).
+    # Honest full-redetection rate: every frame fully re-detected through
+    # the batch API (batched stage 1 incl. the batch-grid Pallas edge
+    # kernel + host-mapped per-frame refine; see detect_batch's docstring,
+    # VERDICT r2 item 7).
     redet_n = 8
     det_s = _timeit(lambda: bf_auto.detect_batch(f1080_b[:redet_n])[0],
                     fence, reps=3)

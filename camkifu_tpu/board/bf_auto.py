@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf
 from camkifu_tpu.ops.color import rgb_to_gray, rgb_to_gray_u8, to_float
-from camkifu_tpu.ops.edges import edge_map
+from camkifu_tpu.ops.edges import edge_map, edge_map_batch
 from camkifu_tpu.ops.filters import sobel
 from camkifu_tpu.ops.hough import hough_accumulate, topk_edge_points
 from camkifu_tpu.ops.warp import (apply_homography, bilinear_sample,
@@ -116,10 +116,18 @@ def _coarse_quad(gray_small: jnp.ndarray,
     Returns (quad (4, 2) in detection-res coords, score); score < ~0.1 means
     "no board found".
     """
-    res = gray_small.shape[0]
     mag = edge_map(gray_small, backend=edge_backend)
-    if chroma_small is not None:
-        mag_c = edge_map(chroma_small, backend=edge_backend)
+    mag_c = (edge_map(chroma_small, backend=edge_backend)
+             if chroma_small is not None else None)
+    return _coarse_from_mag(mag, mag_c)
+
+
+def _coarse_from_mag(mag: jnp.ndarray, mag_c: jnp.ndarray | None):
+    """The dense post-edge half of ``_coarse_quad``: edge maps → (quad,
+    score). Pure jnp on fixed shapes — vmappable, so the batched detection
+    stage 1 reuses it verbatim (``_detect_prepare_batch``)."""
+    res = mag.shape[0]
+    if mag_c is not None:
         # Union in per-channel-normalized units: luma and chroma gradient
         # amplitudes are not comparable (different dynamic ranges), but each
         # edge_map is already thresholded relative to its own 99.5th pctl.
@@ -784,6 +792,48 @@ def _detect_prepare(frame: jnp.ndarray, res: int,
     return gray, quad_small * scale[None, :], score
 
 
+@functools.partial(jax.jit, static_argnames=("res", "edge_backend"))
+def _detect_prepare_batch(frames: jnp.ndarray, res: int,
+                          edge_backend: str = "auto"):
+    """Batched detection stage 1: (B, H, W, 3) → (grays u8 (B, H, W),
+    quads (B, 4, 2) frame px, scores (B,)).
+
+    Per-frame outputs match ``_detect_prepare`` (same ops, same per-frame
+    adaptive thresholds). Luma and chroma edge maps for the whole batch run
+    as ONE batch-grid Pallas call (2B frames stacked) and the post-edge
+    geometry vmaps over ``_coarse_from_mag`` — the stage is resize/filter/
+    top-k work that batches cleanly, unlike stage 2's rectification gathers
+    (VERDICT r2 item 7: batch stages 1–2, map stage 3).
+    """
+    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    with jax.default_matmul_precision("float32"):
+        return _detect_prepare_batch_impl(frames, b, h, w, res, edge_backend)
+
+
+def _detect_prepare_batch_impl(frames, b, h, w, res, edge_backend):
+    grays = rgb_to_gray_u8(frames)
+    fscale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
+    smalls = jax.image.resize(grays.astype(jnp.float32) / 255.0,
+                              (b, res, res), method="bilinear")
+    chromas = jax.image.resize(
+        (frames[..., 0].astype(jnp.float32)
+         - frames[..., 2].astype(jnp.float32)) * fscale,
+        (b, res, res), method="bilinear")
+    mags = edge_map_batch(jnp.concatenate([smalls, chromas]),
+                          backend=edge_backend)
+    quads, scores = jax.vmap(_coarse_from_mag)(mags[:b], mags[b:])
+    scale = jnp.array([(w - 1) / (res - 1), (h - 1) / (res - 1)],
+                      jnp.float32)
+    return grays, quads * scale[None, None, :], scores
+
+
+@functools.partial(jax.jit, static_argnames=("gsize", "refine_iters"))
+def _refine_one(gray: jnp.ndarray, quad: jnp.ndarray, score,
+                gsize: int = 19, refine_iters: int = 1):
+    """Jitted per-frame stages 2–3 for callers that ran stage 1 batched."""
+    return _detect_refine(gray, quad, score, gsize, refine_iters)
+
+
 @functools.partial(jax.jit, static_argnames=("res", "gsize", "refine_iters"))
 def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
                    gsize: int = 19, refine_iters: int = 1):
@@ -874,19 +924,38 @@ def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
                  gsize: int = 19):
     """Per-frame detection over a batch → (corners (B, 4, 2), scores (B,)).
 
-    A host loop over the jitted single-frame path — deliberately neither
-    vmap nor lax.map. vmap: the Pallas edge kernel cannot be batch-vmapped
-    (the batching rule lands the batch on the lane dim) and detection's
-    gathers hit the varying-index cliff (measured r3: vmapping the coarse
-    stage on the XLA edge path costs ~2× the per-frame Pallas path). lax.map:
-    the scan body re-stages detection's gather/top-k soup ~19× slower than
-    the standalone jit (measured r3: 399 vs 21 ms/frame at 1080p). The host
-    loop queues B independent dispatches (pipelined like the real feeder);
-    every call site is host-level, so nothing needs this inside a jit.
+    Stage 1 (gray/resize/edges/coarse quad) runs as ONE batched dispatch —
+    the batch-grid Pallas edge kernel keeps the fused path that plain vmap
+    loses (its batching rule lands the batch on the lane dim; vmapping the
+    XLA edge path instead measured ~2× the per-frame Pallas cost). Stages
+    2–3 (rectification gathers + comb race + pin) stay a host loop over the
+    jitted per-frame path — deliberately not lax.map: the scan body
+    re-stages detection's gather/top-k soup ~19× slower than the standalone
+    jit (measured r3: 399 vs 21 ms/frame at 1080p). The host loop queues B
+    independent dispatches (pipelined like the real feeder); every call
+    site is host-level, so nothing needs this inside a jit.
+
+    Safety net: the batch-grid Pallas edge kernel's Mosaic lowering is
+    shape-dependent; if the batched stage-1 compile fails on this backend,
+    fall back (once, cached) to the proven per-frame path.
     """
+    global _BATCH_STAGE1_OK
+    if _BATCH_STAGE1_OK is not False:
+        try:
+            grays, quads, scores = _detect_prepare_batch(frames, res)
+            _BATCH_STAGE1_OK = True
+            corners = [_refine_one(grays[i], quads[i], scores[i], gsize)
+                       for i in range(frames.shape[0])]
+            return jnp.stack(corners), scores
+        except Exception:  # Mosaic lowering failure — not data-dependent.
+            if _BATCH_STAGE1_OK:   # worked before: a real error, surface it
+                raise
+            _BATCH_STAGE1_OK = False
     outs = [detect_corners(f, res, gsize=gsize) for f in frames]
-    return (jnp.stack([c for c, _ in outs]),
-            jnp.stack([s for _, s in outs]))
+    return jnp.stack([c for c, _ in outs]), jnp.stack([s for _, s in outs])
+
+
+_BATCH_STAGE1_OK: bool | None = None
 
 
 def detect_batch_stable(frames: jnp.ndarray,

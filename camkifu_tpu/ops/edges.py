@@ -91,3 +91,35 @@ def edge_map(gray: jnp.ndarray, sigma: float = 1.4,
         mag = nms_magnitude(gx, gy)
     ref = jnp.percentile(mag, 99.5)
     return hysteresis(mag, low_frac * ref, high_frac * ref, hysteresis_iters)
+
+
+def edge_map_batch(grays: jnp.ndarray, sigma: float = 1.4,
+                   low_frac: float = 0.15, high_frac: float = 0.4,
+                   hysteresis_iters: int = 4,
+                   backend: str = "auto") -> jnp.ndarray:
+    """``edge_map`` over a batch: (B, H, W) gray in [0, 1] → (B, H, W).
+
+    Per-frame semantics are identical to the single-frame path (the
+    percentile threshold adapts per frame, not over the batch). On TPU the
+    blur+Sobel+NMS front end runs the batch-grid Pallas kernel — the
+    single-frame kernel cannot be vmapped — so the batched detection
+    coarse stage keeps the fused-VMEM path (VERDICT r2 item 7).
+    """
+    import jax
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() not in ("cpu",))
+    if use_pallas:
+        from camkifu_tpu.ops.pallas.edge_kernel import edge_magnitude_batch
+
+        mags = edge_magnitude_batch(grays, sigma=sigma)
+    else:
+        def _one(g):
+            gx, gy = sobel(gaussian_blur(g, sigma))
+            return nms_magnitude(gx, gy)
+
+        mags = jax.vmap(_one)(grays)
+    ref = jnp.percentile(mags, 99.5, axis=(1, 2))
+    return jax.vmap(
+        lambda m, r: hysteresis(m, low_frac * r, high_frac * r,
+                                hysteresis_iters))(mags, ref)
