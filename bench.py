@@ -286,6 +286,7 @@ def main() -> None:
     # Epilogue (outside every timed region): precompile the 256-batch c2
     # kernel into the persistent cache and leave the marker so the next
     # run measures at 256. Skipped if this run already did.
+    b256_error = None
     if c2_batch == batch:
         try:
             f256 = jax.device_put(jnp.broadcast_to(
@@ -294,8 +295,8 @@ def main() -> None:
             fence(pipeline.read_board_batch(f256, cs256)[0])
             with open(b256_marker, "w") as fh:
                 fh.write("ok\n")
-        except Exception:
-            pass                       # cold-compile budget exceeded: stay 128
+        except Exception as e:         # cold-compile budget exceeded: stay
+            b256_error = f"{type(e).__name__}: {e}"[:200]  # 128, but say why
 
     print(json.dumps({
         "metric": "1080p_frames_per_sec_per_chip_detect_classify",
@@ -316,6 +317,7 @@ def main() -> None:
         "tunnel_dispatch_ms": round(dispatch_ms, 2),
         "tunnel_degraded": degraded,
         "device": str(jax.devices()[0]),
+        **({"b256_precompile_error": b256_error} if b256_error else {}),
     }))
 
 

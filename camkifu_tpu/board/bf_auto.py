@@ -266,30 +266,37 @@ def _comb_fit(profile: jnp.ndarray, gsize: int, n_offsets: int = 64,
     return offsets[oi], spacings[si], quality
 
 
-def _snap_teeth(profile: jnp.ndarray, o, s, gsize: int):
-    """Sub-pixel comb polish: snap each tooth to the parabolic peak of the
-    profile within ±s/3, then weighted-least-squares refit (o, s).
+def _snap_to_peaks(profile: jnp.ndarray, teeth: jnp.ndarray, pitch,
+                   n_off: int):
+    """Shared snap core: move each expected tooth position to its sub-pixel
+    profile peak within ±pitch/3 — windowed argmax over n_off offsets +
+    parabolic sub-step around the discrete winner.
 
-    Stone edges sit ±0.47·s off the lines — outside the snap window — so
-    the snap can only lock onto the line (or stone-center) ridge itself.
+    Stone edges sit ±0.47·pitch off the lines — outside the snap window —
+    so the snap can only lock onto the line (or stone-center) ridge itself.
+    Returns (snapped positions (g,), peak strengths (g,) — the usual LS
+    weights downstream).
     """
-    n = profile.shape[0]
-    n_off = 21
-
-    idx = jnp.arange(gsize, dtype=jnp.float32)
-    teeth = o + s * idx                                    # (g,)
-    offs = jnp.linspace(-1.0, 1.0, n_off) * (s / 3.0)      # (n_off,)
+    offs = jnp.linspace(-1.0, 1.0, n_off) * (pitch / 3.0)  # (n_off,)
     win = _interp1d_hat(profile, teeth[:, None] + offs[None, :])  # (g, n_off)
     best = jnp.argmax(win, axis=1)
-    # Parabolic sub-step around the discrete peak.
-    bm1 = win[jnp.arange(gsize), jnp.clip(best - 1, 0, n_off - 1)]
-    bp1 = win[jnp.arange(gsize), jnp.clip(best + 1, 0, n_off - 1)]
-    b0 = win[jnp.arange(gsize), best]
+    gi = jnp.arange(teeth.shape[0])
+    bm1 = win[gi, jnp.clip(best - 1, 0, n_off - 1)]
+    bp1 = win[gi, jnp.clip(best + 1, 0, n_off - 1)]
+    b0 = win[gi, best]
     den = bm1 - 2 * b0 + bp1
     delta = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (bm1 - bp1) / den, 0.0)
-    delta = jnp.clip(delta, -1.0, 1.0)
     step = offs[1] - offs[0]
-    snapped = teeth + offs[best] + delta * step            # (g,)
+    snapped = teeth + offs[best] + jnp.clip(delta, -1.0, 1.0) * step
+    return snapped, b0
+
+
+def _snap_teeth(profile: jnp.ndarray, o, s, gsize: int):
+    """Sub-pixel comb polish: snap each tooth to the parabolic peak of the
+    profile within ±s/3 (_snap_to_peaks), then weighted-least-squares refit
+    (o, s)."""
+    idx = jnp.arange(gsize, dtype=jnp.float32)
+    snapped, b0 = _snap_to_peaks(profile, o + s * idx, s, n_off=21)
     # Weighted LS fit snapped ≈ o' + i·s' (weights = peak strength).
     w = jnp.maximum(b0, 1e-6)
     sw = w.sum()
@@ -316,21 +323,8 @@ def _snap_quadratic(profile: jnp.ndarray, o, s, gsize: int):
     quadratic term captures the drift to first order and pins the outer
     lines where the measured peaks put them.
     """
-    n = profile.shape[0]
-    n_off = 21
     idx = jnp.arange(gsize, dtype=jnp.float32)
-    teeth = o + s * idx
-    offs = jnp.linspace(-1.0, 1.0, n_off) * (s / 3.0)
-    win = _interp1d_hat(profile, teeth[:, None] + offs[None, :])
-    best = jnp.argmax(win, axis=1)
-    bm1 = win[jnp.arange(gsize), jnp.clip(best - 1, 0, n_off - 1)]
-    bp1 = win[jnp.arange(gsize), jnp.clip(best + 1, 0, n_off - 1)]
-    b0 = win[jnp.arange(gsize), best]
-    den = bm1 - 2 * b0 + bp1
-    delta = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (bm1 - bp1) / den, 0.0)
-    delta = jnp.clip(delta, -1.0, 1.0)
-    step = offs[1] - offs[0]
-    snapped = teeth + offs[best] + delta * step            # (g,)
+    snapped, b0 = _snap_to_peaks(profile, o + s * idx, s, n_off=21)
 
     w = jnp.maximum(b0, 1e-6)
     ic = idx - (gsize - 1) / 2.0                # centered → conditioned 3×3
@@ -419,15 +413,15 @@ def _pin_corners(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
     # Shear sanity: halves that disagree beyond half a cell are measuring
     # something other than the same line (occlusion artifacts) — drop the
     # shear term rather than extrapolate it.
-    def guard(v1, v2):
-        bad = jnp.abs(v2 - v1) > 0.5 * sx
+    def guard(v1, v2, pitch):
+        bad = jnp.abs(v2 - v1) > 0.5 * pitch
         m = 0.5 * (v1 + v2)
         return jnp.where(bad, m, v1), jnp.where(bad, m, v2)
 
-    x0t, x0b = guard(x0t, x0b)
-    x1t, x1b = guard(x1t, x1b)
-    y0l, y0r = guard(y0l, y0r)
-    y1l, y1r = guard(y1l, y1r)
+    x0t, x0b = guard(x0t, x0b, sx)
+    x1t, x1b = guard(x1t, x1b, sx)
+    y0l, y0r = guard(y0l, y0r, sy)
+    y1l, y1r = guard(y1l, y1r, sy)
 
     rc2 = jnp.array([
         [at(x0t, x0b, y_top), at(y0l, y0r, x_left)],     # tl
@@ -947,8 +941,14 @@ def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
             corners = [_refine_one(grays[i], quads[i], scores[i], gsize)
                        for i in range(frames.shape[0])]
             return jnp.stack(corners), scores
-        except Exception:  # Mosaic lowering failure — not data-dependent.
-            if _BATCH_STAGE1_OK:   # worked before: a real error, surface it
+        except Exception as e:
+            # Only a compiler/lowering failure is a verdict on the backend;
+            # anything else (OOM, tunnel RPC drop, shape bug) must surface,
+            # not silently latch the slow path forever.
+            msg = str(e).lower()
+            lowering = any(k in msg for k in
+                           ("mosaic", "lower", "unimplemented", "unsupported"))
+            if _BATCH_STAGE1_OK or not lowering:
                 raise
             _BATCH_STAGE1_OK = False
     outs = [detect_corners(f, res, gsize=gsize) for f in frames]
@@ -1094,6 +1094,44 @@ def _lattice_offset(profile: jnp.ndarray, first: jnp.ndarray, pitch,
     return d[0], sh[0]
 
 
+def _abs_lock_update(cols0, rows0, first_x, first_y, px, py,
+                     dx0, dy0, ok0, e_lock, S: int, gsize: int):
+    """One chunk's absolute-lattice-lock update, shared by both tracking
+    engines (track_corners_batch and rectify_track_batch — per-axis vs
+    shared pitch is the only call-site difference).
+
+    Template-correlate the chunk's first frame against the seed-implied
+    comb (_lattice_offset), then gate the residual three ways before
+    merging it into the running ``e_lock``:
+
+    - correlation sharpness + frame ok — unmeasurable frames say nothing;
+    - comb-quality referee — the template can mislock onto an off-lattice
+      ridge (stone edges on hard palettes, measured ~0.9 cells of
+      self-consistent error): accept only where the ABSOLUTE comb score of
+      the locked position beats the currently-held one;
+    - deadband (TRACK_ABS_DEADBAND·pitch) — the lattice signal's peaks sit
+      ~1–2 rect px off geometric truth (content bias, measured); smaller
+      corrections are bias, not seed error.
+    """
+    ex_m, sex = _lattice_offset(cols0, first_x, px, gsize, S)
+    ey_m, sey = _lattice_offset(rows0, first_y, py, gsize, S)
+    qx_with = _comb_quality(cols0, first_x + ex_m, px, gsize)
+    qx_without = _comb_quality(cols0, first_x + dx0 + e_lock[0], px, gsize)
+    qy_with = _comb_quality(rows0, first_y + ey_m, py, gsize)
+    qy_without = _comb_quality(rows0, first_y + dy0 + e_lock[1], py, gsize)
+    exc = ex_m - dx0
+    eyc = ey_m - dy0
+    return jnp.stack([
+        jnp.where((sex >= TRACK_MIN_SHARPNESS) & ok0
+                  & (qx_with > qx_without)
+                  & (jnp.abs(exc) >= TRACK_ABS_DEADBAND * px),
+                  exc, e_lock[0]),
+        jnp.where((sey >= TRACK_MIN_SHARPNESS) & ok0
+                  & (qy_with > qy_without)
+                  & (jnp.abs(eyc) >= TRACK_ABS_DEADBAND * py),
+                  eyc, e_lock[1])])
+
+
 def _teeth_fit(profile: jnp.ndarray, first, pitch, gsize: int):
     """Robust per-tooth lattice fit: snap each of the gsize teeth (expected
     at first + k·pitch) to its sub-pixel profile peak within ±pitch/3, then
@@ -1110,20 +1148,9 @@ def _teeth_fit(profile: jnp.ndarray, first, pitch, gsize: int):
     (A − (first + pitch·(gsize−1)/2)), fitted pitch B, and a validity flag
     (teeth agree on a line: weighted rms residual < 0.15·pitch).
     """
-    n_off = 15
     idx = jnp.arange(gsize, dtype=jnp.float32)
-    teeth = first + pitch * idx
-    offs = jnp.linspace(-1.0, 1.0, n_off) * (pitch / 3.0)
-    win = _interp1d_hat(profile, teeth[:, None] + offs[None, :])
-    best = jnp.argmax(win, axis=1)
-    gi = jnp.arange(gsize)
-    bm1 = win[gi, jnp.clip(best - 1, 0, n_off - 1)]
-    bp1 = win[gi, jnp.clip(best + 1, 0, n_off - 1)]
-    b0 = win[gi, best]
-    den = bm1 - 2 * b0 + bp1
-    delta = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (bm1 - bp1) / den, 0.0)
-    step = offs[1] - offs[0]
-    snapped = teeth + offs[best] + jnp.clip(delta, -1, 1) * step
+    snapped, b0 = _snap_to_peaks(profile, first + pitch * idx, pitch,
+                                 n_off=15)
 
     w = jnp.maximum(b0, 1e-6)
     ic = idx - (gsize - 1) / 2.0
@@ -1319,25 +1346,26 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
 
     Full detection (detect_corners) costs ~24 ms/frame — per-frame
     re-detection would cap BASELINE config 4 at ~40 fps. Tracking measures
-    each frame's *board translation* instead, and keeps the gathers
+    each frame's *board motion* instead, and keeps the gathers
     TPU-fast: the rectification indices are SHARED across each ``chunk``
     consecutive frames (computed from the running seed, a lax.scan carry),
     so the warp vectorizes across the batch — the same shared-index trick
     as ops.warp.warp_batch_chunked. Each frame's lattice profiles are then
     cross-correlated (one batched matmul) against a slowly-adapting
-    reference, giving that frame's (dx, dy) to sub-pixel: all ~19 lattice
+    reference, giving a coarse (dx, dy) to sub-pixel: all ~19 lattice
     peaks vote coherently, which is far more robust frame-to-frame than
     re-fitting a comb on a profile perturbed by newly placed stones.
-    Rotation/perspective drift is NOT modeled here — the host finder
-    re-runs full detection at bf_period cadence, which re-anchors the seed.
 
-    Each frame's measurement is a full 4-DoF similarity (translation +
-    in-plane rotation + scale) solved from half-split profile correlations
-    (_track_measure) — the r2 probe showed pure-translation tracking drifts
-    silently to >1 cell under a slowly rotating camera while the sharpness
-    gate never trips. Out-of-plane perspective drift remains unmodeled; the
-    per-frame lattice-alignment score (`align`) is the trip-wire for it —
-    the host forces re-detection when it decays against its own EMA.
+    On top of that coarse shift, each frame's measurement is a full 4-DoF
+    similarity (translation + in-plane rotation + scale) solved from
+    half-split profile lattice fits (_track_measure) — the r2 probe showed
+    pure-translation tracking drifts silently to >1 cell under a slowly
+    rotating camera while the sharpness gate never trips. Out-of-plane
+    (perspective/keystone) drift remains unmodeled; the per-frame
+    lattice-alignment score (`align`) is the trip-wire for it — the host
+    forces re-detection when it decays below TRACK_ALIGN_TRIP × the
+    baseline recorded since the last re-anchor (a running max, never
+    EMA-adapted — see report_tracking).
 
     frames: (B, H, W, 3) uint8/float; seed_corners: (4, 2) from
     detect_corners (or the previous batch's new_seed).
@@ -1393,33 +1421,13 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             theta = _hold_bad(theta, rot_ok & ok)
             sigma = _hold_bad(sigma, scl_ok & ok)
 
-            # Absolute lattice lock (see _lattice_offset): pin the chunk's
+            # Absolute lattice lock (see _abs_lock_update): pin the chunk's
             # first frame to the seed-implied comb; the residual corrects
             # every frame's translation, so seed error cannot persist as a
             # hidden constant offset.
-            ex_m, sex = _lattice_offset(cols[0], first_x, sx, gsize, S)
-            ey_m, sey = _lattice_offset(rows[0], first_y, sy, gsize, S)
-            # Comb-quality referee: the template correlation can lock onto
-            # an off-lattice ridge (stone edges on hard palettes) — accept
-            # the lock only where the ABSOLUTE comb score says the locked
-            # position beats the current one.
-            qx_with = _comb_quality(cols[0], first_x + ex_m, sx, gsize)
-            qx_without = _comb_quality(
-                cols[0], first_x + dx[0] + e_lock[0], sx, gsize)
-            qy_with = _comb_quality(rows[0], first_y + ey_m, sy, gsize)
-            qy_without = _comb_quality(
-                rows[0], first_y + dy[0] + e_lock[1], sy, gsize)
-            exc = ex_m - dx[0]
-            eyc = ey_m - dy[0]
-            e_lock = jnp.stack([
-                jnp.where((sex >= TRACK_MIN_SHARPNESS) & ok[0]
-                          & (qx_with > qx_without)
-                          & (jnp.abs(exc) >= TRACK_ABS_DEADBAND * sx),
-                          exc, e_lock[0]),
-                jnp.where((sey >= TRACK_MIN_SHARPNESS) & ok[0]
-                          & (qy_with > qy_without)
-                          & (jnp.abs(eyc) >= TRACK_ABS_DEADBAND * sy),
-                          eyc, e_lock[1])])
+            e_lock = _abs_lock_update(cols[0], rows[0], first_x, first_y,
+                                      sx, sy, dx[0], dy[0], ok[0],
+                                      e_lock, S, gsize)
             dx = dx + e_lock[0]
             dy = dy + e_lock[1]
 
@@ -1544,32 +1552,12 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             theta = _hold_bad(theta, rot_ok & okf)
             sigma = _hold_bad(sigma, scl_ok & okf)
 
-            # Absolute lattice lock (see _lattice_offset): in this engine
+            # Absolute lattice lock (see _abs_lock_update): in this engine
             # the seed-implied comb is exactly the static anchors (teeth at
-            # lo + k·zone by DLT construction).
-            ex_m, sex = _lattice_offset(cols[0], first, pitch, gsize, S)
-            ey_m, sey = _lattice_offset(rows[0], first, pitch, gsize, S)
-            # Comb-quality referee: accept the lock only where the absolute
-            # comb score says the locked position beats the current one
-            # (the template can mislock onto stone-edge ridges — measured
-            # ~0.9 cells of self-consistent error on hard palettes).
-            qx_with = _comb_quality(cols[0], first + ex_m, pitch, gsize)
-            qx_without = _comb_quality(
-                cols[0], first + dx[0] + e_lock[0], pitch, gsize)
-            qy_with = _comb_quality(rows[0], first + ey_m, pitch, gsize)
-            qy_without = _comb_quality(
-                rows[0], first + dy[0] + e_lock[1], pitch, gsize)
-            exc = ex_m - dx[0]
-            eyc = ey_m - dy[0]
-            e_lock = jnp.stack([
-                jnp.where((sex >= TRACK_MIN_SHARPNESS) & okf[0]
-                          & (qx_with > qx_without)
-                          & (jnp.abs(exc) >= TRACK_ABS_DEADBAND * pitch),
-                          exc, e_lock[0]),
-                jnp.where((sey >= TRACK_MIN_SHARPNESS) & okf[0]
-                          & (qy_with > qy_without)
-                          & (jnp.abs(eyc) >= TRACK_ABS_DEADBAND * pitch),
-                          eyc, e_lock[1])])
+            # lo + k·zone by DLT construction), one pitch for both axes.
+            e_lock = _abs_lock_update(cols[0], rows[0], first, first,
+                                      pitch, pitch, dx[0], dy[0], okf[0],
+                                      e_lock, S, gsize)
             dx = dx + e_lock[0]
             dy = dy + e_lock[1]
 
@@ -1714,15 +1702,18 @@ class BoardFinderAuto(BoardFinder):
           re-anchor — slow model-mismatch drift (out-of-plane perspective
           change) that stays correlation-sharp because the reference EMA
           adapts along with it (the r2 rotation probe's failure mode).
-          The baseline is pinned at each re-anchor, never EMA-adapted, so
-          arbitrarily slow decay still trips.
+          The baseline is a running MAX since the last re-anchor — never
+          EMA-adapted, so arbitrarily slow decay still trips, but a later
+          cleaner batch can raise a pin depressed by a partially occluded
+          first batch (which would otherwise put the trip threshold out of
+          reach of real drift).
         """
         self.corners_batch = corners_batch
         self.track_seed = new_seed
         self.metadata["track_sharpness"] = round(mean_sharp, 2)
         if mean_align is not None:
             self.metadata["track_align"] = round(mean_align, 3)
-            if self._align_anchor is None:
+            if self._align_anchor is None or mean_align > self._align_anchor:
                 self._align_anchor = mean_align
             elif (self._align_anchor > 0.02
                   and mean_align < TRACK_ALIGN_TRIP * self._align_anchor):

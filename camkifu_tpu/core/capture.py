@@ -209,10 +209,18 @@ class ParallelFileCapture(CaptureBase):
                     retry = self._decode_segment(cap, start, expected)
                     if len(retry) > len(frames):
                         frames = retry
+                # A short decode of the FILE'S LAST segment is (almost
+                # always) the container header overstating the frame count
+                # (CAP_PROP_FRAME_COUNT is an estimate on VFR streams) —
+                # the stream simply ended. Counting it would report phantom
+                # drops on every such file; genuine tail corruption is the
+                # price of not lying on the common case.
+                tail = seg == len(self._segments) - 1
                 with self._cond:
                     if gen == self._gen:
                         self._results[seg] = frames
-                        self.dropped_frames += expected - len(frames)
+                        if not tail:
+                            self.dropped_frames += expected - len(frames)
                         self._cond.notify_all()
         finally:
             cap.release()

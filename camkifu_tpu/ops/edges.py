@@ -65,6 +65,17 @@ def hysteresis(mag: jnp.ndarray, low: float, high: float,
     return jnp.where(reach | strong, mag, 0.0)
 
 
+def _use_pallas(backend: str) -> bool:
+    """True when the fused Pallas kernel should run. "auto" means "on TPU"
+    only — the kernel is Mosaic/TPU-specific (pltpu.VMEM blocks), so a GPU
+    backend must take the XLA path, not fail to lower. The real chip here
+    registers as platform "axon" (an RPC tunnel to a TPU)."""
+    import jax
+
+    return backend == "pallas" or (
+        backend == "auto" and jax.default_backend() in ("tpu", "axon"))
+
+
 def edge_map(gray: jnp.ndarray, sigma: float = 1.4,
              low_frac: float = 0.15, high_frac: float = 0.4,
              hysteresis_iters: int = 4, backend: str = "auto") -> jnp.ndarray:
@@ -77,11 +88,7 @@ def edge_map(gray: jnp.ndarray, sigma: float = 1.4,
     (≈3× the XLA path: one VMEM round trip instead of four HBM ones) and the
     XLA path elsewhere; "xla" / "pallas" force.
     """
-    import jax
-
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() not in ("cpu",))
-    if use_pallas:
+    if _use_pallas(backend):
         from camkifu_tpu.ops.pallas.edge_kernel import edge_magnitude
 
         mag = edge_magnitude(gray, sigma=sigma)
@@ -107,9 +114,7 @@ def edge_map_batch(grays: jnp.ndarray, sigma: float = 1.4,
     """
     import jax
 
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() not in ("cpu",))
-    if use_pallas:
+    if _use_pallas(backend):
         from camkifu_tpu.ops.pallas.edge_kernel import edge_magnitude_batch
 
         mags = edge_magnitude_batch(grays, sigma=sigma)

@@ -253,7 +253,6 @@ def _draw_hand(frame: np.ndarray, hand, rng) -> np.ndarray:
     nrm = np.linalg.norm(arm_dir) + 1e-6
     arm_dir /= nrm
     ang = np.degrees(np.arctan2(arm_dir[1], arm_dir[0]))
-    overlay = frame.copy()
     # Soft shadow (offset toward the light's opposite side).
     sh = frame.astype(np.float32)
     mask = np.zeros((h, w), np.uint8)

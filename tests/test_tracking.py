@@ -345,6 +345,23 @@ def test_align_tripwire_host_plumbing():
     assert bf._since_detect >= 10 ** 9                  # re-detect forced
 
 
+def test_align_baseline_rises_on_cleaner_batch():
+    """The baseline is a running MAX since re-anchor: a partially occluded
+    FIRST batch must not pin a depressed baseline that puts the trip
+    threshold out of reach of real drift (it can rise, never adapt down)."""
+    bf = bf_auto.BoardFinderAuto.__new__(bf_auto.BoardFinderAuto)
+    bf.metadata = {}
+    bf._align_anchor = None
+    bf._since_detect = 0
+    bf.track_seed = "seed"
+    corners = np.zeros((16, 4, 2), np.float32)
+    bf.report_tracking(corners, "seed", 3.0, 0.30)      # occluded first batch
+    bf.report_tracking(corners, "seed", 3.0, 0.60)      # clean batch: raise
+    assert bf._align_anchor == 0.60
+    bf.report_tracking(corners, "seed", 3.0, 0.25)      # < trip×0.60 now
+    assert bf._since_detect >= 10 ** 9
+
+
 def test_perspective_drift_tracks_or_trips(midgame_labels):
     """Out-of-plane keystone drift is the one camera motion the 4-DoF
     similarity cannot model. The contract (r2's silent-drift hole, closed):
