@@ -185,7 +185,7 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
     from camkifu_tpu.utils import synth
 
     if video_spec.startswith("synth:"):
-        # synth:N[:seed][:hard|real][:palette] — rendered game with known
+        # synth:N[:seed][:hard|real][:flicker][:palette] — rendered game with known
         # ground truth; 'hard' adds stone jitter, a 30% lighting gradient,
         # defocus blur, and a soft shadow (the adversarial eval for the
         # ≥99% target); 'real' adds, on top of hard, procedural wood-grain
@@ -205,16 +205,21 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
         if real:
             hard_kw.update(wood_texture=0.10, vignette=0.22)
             game_kw["hand_frames"] = 2
+        if "flicker" in rest:
+            # Auto-exposure hunting: per-frame global gain walk ±15%, with
+            # a reactive dip while the hand is in frame (synth.render_game).
+            game_kw["flicker"] = 0.15
         palette = next((p for p in rest if p in synth.PALETTES), None)
         if palette:
             hard_kw["palette"] = palette
         bad = [p for p in rest
-               if not (p.isdigit() or p in ("hard", "real")
+               if not (p.isdigit() or p in ("hard", "real", "flicker")
                        or p in synth.PALETTES)]
         if bad:
             raise ValueError(
                 f"unknown synth spec token(s) {bad}: expected a seed, "
-                f"'hard'/'real', or a palette in {sorted(synth.PALETTES)}")
+                f"'hard'/'real'/'flicker', or a palette in "
+                f"{sorted(synth.PALETTES)}")
         moves = synth.sample_moves(n_moves, seed=seed)
         ref_moves = moves
         gt_corners = synth.default_corners((720, 1280))

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.ops import background
 from camkifu_tpu.ops.color import rgb_to_gray
 from camkifu_tpu.ops.warp import warp_batch_chunked, warp_to_canonical
 from camkifu_tpu.ops.zones import disc_mask, extract_zones
@@ -81,6 +82,14 @@ def step_frame(state: BgSubState, canonical: jnp.ndarray,
     # invisible to this finder until they move — start from an empty board,
     # or use SfMeta (whose spatial estimators have no such memory).
     bg = jnp.where(state.bg[0, 0] < 0, luma, state.bg)
+
+    # Exposure compensation: normalize the frame to the background's
+    # exposure (robust_gain — histogram median of the ratio, immune to
+    # stones/hands as long as they are a pixel minority). Without it a
+    # sustained auto-exposure shift biases EVERY disc's |luma − bg| by
+    # ~gain·luma — at 20% that is ≈0.11, most of PRESENCE_THRESH, flipping
+    # whole boards into phantom stones until the EMA re-converges.
+    luma = luma / background.robust_gain(luma, bg)
 
     # Presence: disc median of (luma − bg) per zone.
     zones_diff = extract_zones((luma - bg)[..., None], gsize, zone)[..., 0]

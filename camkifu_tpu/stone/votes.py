@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf
+from camkifu_tpu.ops import background
 
 
 def vote_update(votes: jnp.ndarray, stable: jnp.ndarray,
@@ -60,7 +61,13 @@ def zone_motion_gate(luma_small: jnp.ndarray, prev: jnp.ndarray,
     Returns (zone_calm (g, g) float {0,1}, agitation scalar = fraction of
     moving zones).
     """
-    dt = jnp.abs(luma_small - prev)
+    # Exposure compensation: an auto-exposure step (10–20% of luma when a
+    # hand enters the scene — measured to mark the ENTIRE board agitated at
+    # ≥12% and stall the vote machine exactly while moves are played) is a
+    # global multiplicative gain, not motion. Divide it out before
+    # differencing; the gate then sees only local change.
+    gain = background.robust_gain(luma_small, prev)
+    dt = jnp.abs(luma_small - gain * prev)
     gx = 0.5 * (jnp.roll(luma_small, -1, 1) - jnp.roll(luma_small, 1, 1))
     gy = 0.5 * (jnp.roll(luma_small, -1, 0) - jnp.roll(luma_small, 1, 0))
     grad = jnp.sqrt(gx * gx + gy * gy)

@@ -348,6 +348,7 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
                 frame_hw: tuple[int, int] = (720, 1280),
                 gsize: int = guiconf.gsize, seed: int = 0,
                 empty_leadin: int = 2, hand_frames: int = 0,
+                flicker: float = 0.0,
                 **frame_kwargs):
     """Yield (frame, state_labels) for a whole game: ``empty_leadin`` frames of
     the empty board, then ``frames_per_move`` frames after each move. Extra
@@ -357,6 +358,13 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
     hand_frames > 0 animates a hand RETREATING from each just-played stone
     over that many frames (a real recording's moving occluder): frame 0
     after a move has the hand covering the new stone, then it withdraws.
+
+    flicker > 0 simulates camera auto-exposure hunting: a per-frame global
+    gain doing a seeded random walk within [1−flicker, 1+flicker], with a
+    reactive dip toward 1−0.8·flicker while the hand is in frame (real AE
+    compensates for the bright hand exactly when moves are played). At
+    flicker=0.15 consecutive-frame steps reach ~10–15% — the regime
+    measured to stall an exposure-naive motion gate board-wide.
     """
     import cv2
 
@@ -366,12 +374,25 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
     lo, hi = zone / 2.0, gsize * zone - zone / 2.0
     src = np.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi]], np.float32)
     M = cv2.getPerspectiveTransform(src, np.asarray(corners, np.float32))
+    rng_f = np.random.default_rng(seed + 940229)
+    gain = 1.0
+
+    def expose(frame, hand_active):
+        nonlocal gain
+        if not flicker:
+            return frame
+        target = 1.0 - 0.8 * flicker if hand_active else 1.0
+        gain += 0.35 * (target - gain) + rng_f.normal(0.0, 0.4 * flicker)
+        gain = float(np.clip(gain, 1.0 - flicker, 1.0 + flicker))
+        return np.clip(frame.astype(np.float32) * gain, 0, 255) \
+            .astype(np.uint8)
+
     i = 0
     for _ in range(empty_leadin):
         frame, _ = render_frame(empty, corners, frame_hw, seed=seed + i,
                                 jitter_seed=seed, **frame_kwargs)
         i += 1
-        yield frame, empty
+        yield expose(frame, False), empty
     for state, move in game_states(moves, gsize):
         for j in range(frames_per_move):
             hand = None
@@ -384,7 +405,7 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
                                     jitter_seed=seed, hand=hand,
                                     **frame_kwargs)
             i += 1
-            yield frame, state
+            yield expose(frame, hand is not None), state
 
 
 def moves_from_sgf(path: str) -> list[Move]:

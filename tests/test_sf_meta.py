@@ -191,3 +191,77 @@ def test_padded_frames_do_not_amplify_votes():
     state3, labels3, _, _ = sf_meta.read_batch(
         state, fb2, jnp.asarray(corners))
     assert np.asarray(labels3[-1])[9, 9] == 1
+
+
+def test_motion_gate_ignores_exposure_steps():
+    """A global auto-exposure step (multiplicative gain on the whole frame)
+    is not motion: the gate must stay fully calm at swings measured to mark
+    the entire board agitated without compensation (≥12%)."""
+    from camkifu_tpu.stone import votes
+
+    labels = np.zeros((19, 19), np.int8)
+    labels[3, 3] = 1
+    frame, _ = synth.render_frame(labels, frame_hw=(720, 1280))
+    g = frame.mean(axis=2).astype(np.float32) / 255.0
+    small = g[:180 * 4, :312 * 4].reshape(180, 4, 312, 4).mean(axis=(1, 3))
+    sq = small[:152, :152]
+    for step in (0.88, 1.12, 1.2):
+        calm, agit = votes.zone_motion_gate(jnp.asarray(sq * step),
+                                            jnp.asarray(sq), 19)
+        assert float(agit) == 0.0, (step, float(agit))
+
+
+def test_motion_gate_catches_occluder_under_exposure_step():
+    """Exposure compensation must not blind the gate to a real occluder
+    arriving in the same frame as the AE dip it causes."""
+    from camkifu_tpu.stone import votes
+
+    rng = np.random.default_rng(3)
+    sq = 0.55 + 0.05 * rng.standard_normal((152, 152)).astype(np.float32)
+    cur = (sq * 0.88).astype(np.float32)          # AE dips 12% ...
+    cur[40:104, 40:104] = 0.22                    # ... as a hand lands
+    calm, agit = votes.zone_motion_gate(jnp.asarray(cur), jnp.asarray(sq), 19)
+    blob = np.asarray(calm)[6:12, 6:12]           # zones fully inside blob
+    assert blob.mean() < 0.2, blob
+    assert float(agit) > 0.05
+
+
+def test_robust_gain_recovers_gain_despite_outliers():
+    from camkifu_tpu.ops import background
+
+    rng = np.random.default_rng(0)
+    ref = 0.5 + 0.1 * rng.standard_normal((120, 120)).astype(np.float32)
+    ref = np.clip(ref, 0.2, 0.9)
+    x = (ref * 1.15).astype(np.float32)
+    x[:40, :90] = 0.2                             # 25% of pixels occluded
+    gain = float(background.robust_gain(jnp.asarray(x), jnp.asarray(ref)))
+    assert abs(gain - 1.15) < 0.02, gain
+
+
+def test_bgsub_exposure_shift_no_phantom_stones():
+    """A sustained AE shift must not flip the board into phantom stones in
+    the background-subtraction finder: at a 28% dim the |luma − bg| bias
+    (0.28·luma ≈ 0.15) crosses PRESENCE_THRESH and the uncompensated
+    finder misreads (measured r3)."""
+    from camkifu_tpu.stone import sf_bgsub
+
+    empty = np.zeros((19, 19), np.int8)
+    labels = empty.copy()
+    labels[3, 3] = 1
+    labels[15, 15] = 2
+    frames0, corners = render_batch(empty, 8)       # learn the empty board
+    state = sf_bgsub.init_state()
+    state, *_ = sf_bgsub.read_batch(
+        state, jnp.asarray(frames0), jnp.asarray(corners, jnp.float32))
+    frames, _ = render_batch(labels, cvconf.vote_window + 4,
+                             corners=corners)
+    state, out, conf, agit = sf_bgsub.read_batch(
+        state, jnp.asarray(frames), jnp.asarray(corners, jnp.float32))
+    assert np.array_equal(np.asarray(out)[-1], labels)
+
+    dimmed = np.clip(frames.astype(np.float32) * 0.72, 0, 255) \
+        .astype(np.uint8)
+    state2, out2, conf2, agit2 = sf_bgsub.read_batch(
+        state, jnp.asarray(dimmed), jnp.asarray(corners, jnp.float32))
+    assert np.array_equal(np.asarray(out2)[-1], labels), \
+        np.asarray(out2)[-1]
