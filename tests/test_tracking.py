@@ -438,3 +438,44 @@ def test_tracking_other_board_sizes(gsize, midgame_labels):
     lab, _ = jax.vmap(
         lambda c: sf_clustering.classify_canonical(c, gsize))(canon)
     assert (np.asarray(lab) == labels[None]).mean() > 0.999
+
+
+def test_handheld_game_with_exposure_flicker():
+    """Config 4 adversarial combo: handheld drift AND auto-exposure hunting
+    (±15% gain walk) through the fused track+classify engine. The profile
+    correlations are ratio-invariant to a global gain and the vote gate is
+    exposure-compensated — agreement must stay 100% (probed r3: sharpness
+    min 1.33, align healthy, 10/10 moves)."""
+    moves = synth.sample_moves(8, seed=5)
+    fpm = cvconf.vote_window + 3
+    base = synth.default_corners(HW)
+    rng = np.random.default_rng(99)
+    frames, gain, t = [], 1.0, 0
+    for _, lab in synth.render_game(moves, frames_per_move=fpm,
+                                    frame_hw=HW, seed=5, empty_leadin=6):
+        drift = np.array([12.0 * np.sin(t / 7), 9.0 * np.cos(t / 9)],
+                         np.float32)
+        f, _ = synth.render_frame(lab, base + drift[None, :], HW, seed=5 + t)
+        gain = float(np.clip(gain + 0.35 * (1.0 - gain)
+                             + rng.normal(0, 0.06), 0.85, 1.15))
+        frames.append(np.clip(f.astype(np.float32) * gain, 0, 255)
+                      .astype(np.uint8))
+        t += 1
+    frames = np.stack(frames)
+
+    seed_c, score = bf_auto.detect_corners(jnp.asarray(frames[0]))
+    assert float(score) > 0.1
+    state = sf_meta.init_state()
+    ex = MoveExtractor()
+    B = 16
+    for k in range(0, len(frames), B):
+        fb = frames[k:k + B]
+        n = fb.shape[0]
+        if n < B:
+            fb = np.concatenate([fb, fb[-1:].repeat(B - n, 0)])
+        state, labels, _, _, _cs, _sharp, _al, seed_c = \
+            sf_meta.track_read_batch(state, jnp.asarray(fb), seed_c)
+        for lab in np.asarray(labels)[:n]:
+            ex.advance(lab)
+    rep = score_moves(ex.moves, moves)
+    assert rep["agreement"] == 1.0, rep
