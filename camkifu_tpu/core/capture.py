@@ -67,7 +67,14 @@ def _crop(frame: np.ndarray, bounds: tuple[float, float]) -> np.ndarray:
 
 
 class FileCapture(CaptureBase):
-    """Film mode: lossless sequential batches from a video file."""
+    """Film mode: lossless sequential batches from a video file.
+
+    ``_cap_lock`` serializes every touch of the underlying
+    ``cv2.VideoCapture``: it is NOT thread-safe, and in the threaded
+    runtime the device-feeder daemon read()s while the Tk thread seeks
+    (VUI slider → 'vidpos' → set_position) — unsynchronized that yields
+    garbled frames or a native crash.
+    """
 
     def __init__(self, path: str, bounds: tuple[float, float] = (0.0, 1.0)):
         import cv2
@@ -80,15 +87,17 @@ class FileCapture(CaptureBase):
         self.bounds = bounds
         self.total = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT)) or -1
         self.pos = 0
+        self._cap_lock = threading.Lock()
 
     def read_batch(self, n: int):
         frames = []
-        for _ in range(n):
-            ok, frame = self.cap.read()
-            if not ok:
-                break
-            self.pos += 1
-            frames.append(_crop(frame[:, :, ::-1], self.bounds))
+        with self._cap_lock:
+            for _ in range(n):
+                ok, frame = self.cap.read()
+                if not ok:
+                    break
+                self.pos += 1
+                frames.append(_crop(frame[:, :, ::-1], self.bounds))
         done = len(frames) < n
         return (np.stack(frames) if frames else
                 np.zeros((0, 1, 1, 3), np.uint8)), done
@@ -103,14 +112,16 @@ class FileCapture(CaptureBase):
     def set_position(self, frac: float) -> None:
         if self.total > 0:
             idx = int(frac * self.total)
-            self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, idx)
-            self.pos = idx
+            with self._cap_lock:
+                self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, idx)
+                self.pos = idx
 
     def get_position(self) -> float:
         return self.pos / self.total if self.total > 0 else 0.0
 
     def release(self) -> None:
-        self.cap.release()
+        with self._cap_lock:
+            self.cap.release()
 
 
 class ParallelFileCapture(CaptureBase):
@@ -198,7 +209,12 @@ class ParallelFileCapture(CaptureBase):
                         return
                     seg = self._claim
                     self._claim += 1
-                start = self._segments[seg]
+                    # Snapshot under the lock: a concurrent seek swaps
+                    # self._segments for a (possibly shorter) list, and a
+                    # stale-generation worker indexing the new list would
+                    # die with IndexError instead of exiting cleanly via
+                    # its generation check.
+                    start = self._segments[seg]
                 expected = min(self.segment, self.total - start)
                 frames = self._decode_segment(cap, start, expected)
                 if len(frames) < expected:

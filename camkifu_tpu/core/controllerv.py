@@ -40,11 +40,14 @@ class NavState:
         moves = self.controller.kifu.moves()
         position = max(0, min(len(moves), position))
         rules = Rule(gsize=self.controller.kifu.gsize)
-        # Setup stones (handicap AB/AW) precede move 1 and are always on.
+        # Setup stones (handicap/problem AB/AW) precede move 1 and are
+        # always on. They are position edits: rules.setup bypasses
+        # capture/suicide resolution (a valid problem SGF can set up a
+        # liberty-less group whose surround appears later in the node —
+        # put() would raise and make the file unloadable).
         for stone in self.controller.kifu.setup_stones():
             if rules[stone.row, stone.col] == E:
-                rules.put(stone)
-                rules.confirm()
+                rules.setup(stone)
         for move in moves[:position]:
             if not move.is_pass:
                 rules.put(move)
@@ -149,6 +152,7 @@ class ControllerV(Controller):
                  video=None, bounds=(0.0, 1.0),
                  gsize: int = guiconf.gsize):
         self._deferred: list[Move] = []   # before super(): nav.end() fires _on_nav
+        self._deferred_bulk: list[list] = []
         super().__init__(sgffile=sgffile, gsize=gsize)
         self.video = video
         self.bounds = bounds
@@ -216,17 +220,31 @@ class ControllerV(Controller):
         return self.append(move)
 
     def _on_nav(self) -> None:
-        if self.nav.at_end() and self._deferred:
-            pending, self._deferred = self._deferred, []
-            for move in pending:
-                try:
-                    self.append(move)
-                except IllegalMove as exc:
-                    self._notify("error", str(exc))
+        if self.nav.at_end():
+            if self._deferred:
+                pending, self._deferred = self._deferred, []
+                for move in pending:
+                    try:
+                        self.append(move)
+                    except IllegalMove as exc:
+                        self._notify("error", str(exc))
+            if self._deferred_bulk:
+                pending, self._deferred_bulk = self._deferred_bulk, []
+                for updates in pending:
+                    self.bulk_update(updates)
 
     def bulk_update(self, updates) -> None:
         """Apply a list of (err, exp) corrections from a full-board re-scan
-        (SURVEY §3.3: periodic re-scan → bulk corrections)."""
+        (SURVEY §3.3: periodic re-scan → bulk corrections).
+
+        Deferred while the user browses history, exactly like cvappend:
+        append/delete/relocate all jump the nav cursor to the end, and a
+        vision-originated event must never yank the cursor mid-browse.
+        """
+        if not self.nav.at_end():
+            self._deferred_bulk.append(list(updates))
+            self._notify("vision_deferred", None)
+            return
         for err, exp in updates:
             if err is None and exp is not None:
                 self.append(exp)

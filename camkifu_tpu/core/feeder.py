@@ -95,9 +95,38 @@ def prefetch_to_device(batches, depth: int = 2):
             for frames, n in batches:
                 if stop.is_set():
                     return
-                q.put((jax.device_put(jnp.asarray(frames)), n))
+                item = (jax.device_put(jnp.asarray(frames)), n)
+                # Bounded put re-checking stop: an unbounded q.put would
+                # block forever when the consumer exits early (its finally
+                # can't drain a thread already parked in put), leaking the
+                # thread + two device-resident batches per abandoned run.
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         finally:
-            q.put(None)
+            # Sentinel must always land — but NEVER at the cost of queued
+            # real batches while the consumer is still draining (evicting
+            # one would silently truncate the video's last `depth` batches).
+            # Block politely until there is room; only once the consumer is
+            # known gone (stop set) may pending items be evicted.
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+            while True:
+                try:
+                    q.put_nowait(None)
+                    break
+                except queue.Full:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     t = threading.Thread(target=pump, daemon=True, name="prefetch-to-device")
     t.start()

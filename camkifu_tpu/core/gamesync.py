@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 from camkifu_tpu.config import guiconf
-from camkifu_tpu.gamemodel.move import B, INT_TO_COLOR, Move, opposite
+from camkifu_tpu.gamemodel.move import (B, COLOR_TO_INT, INT_TO_COLOR, Move,
+                                        opposite)
 from camkifu_tpu.gamemodel.rules import IllegalMove, RuleUnsafe
 
 
@@ -51,6 +52,17 @@ class MoveExtractor:
         self.moves: list[Move] = []
         self.rejected = 0
         self._hold: dict[tuple[int, int], int] = {}
+        #: Captured stones awaiting PHYSICAL removal: point → captured color
+        #: int. Readings keep showing a captured group for seconds (votes
+        #: hold through the removing hand's occlusion) — without this filter
+        #: those stale stones re-read as "new" and, for multi-stone captures
+        #: (where re-placing one stone is NOT suicide — the vacated
+        #:  neighbors are its liberties), get emitted as phantom enemy
+        #: moves. An entry clears the moment the point stops reading as the
+        #: captured color; a genuine too-fast ko replay (point never seen
+        #: empty) is repaired by the bulk contradiction tracker instead —
+        #: a late real move beats a phantom one.
+        self._pending_capture: dict[tuple[int, int], int] = {}
         self._resume_next: str | None = None   # alternation seed after resume
 
     # -- queries ---------------------------------------------------------
@@ -76,6 +88,11 @@ class MoveExtractor:
         # Holds for positions no longer reading as stones are stale.
         self._hold = {k: v for k, v in self._hold.items()
                       if reading[k[0], k[1]] != 0}
+        # A pending-removal point that no longer reads as the captured color
+        # has physically caught up (removed, or replaced by the other color).
+        self._pending_capture = {
+            k: v for k, v in self._pending_capture.items()
+            if int(reading[k[0], k[1]]) == v}
         emitted: list[Move] = []
         # Up to two single-move steps per reading (two-stone catch-up case);
         # any residual discrepancy is left for future (better) readings.
@@ -95,7 +112,10 @@ class MoveExtractor:
             # A stone changing color outright is never a legal game event.
             self.rejected += 1
             return None
-        new_positions = list(zip(*np.nonzero(new_mask)))
+        new_positions = [
+            p for p in zip(*np.nonzero(new_mask))
+            if self._pending_capture.get((int(p[0]), int(p[1])))
+            != int(reading[p])]            # stale captured stones, not moves
         if not new_positions:
             if gone_mask.any():
                 # Disappearances without a new stone: not a move (could be a
@@ -143,6 +163,8 @@ class MoveExtractor:
                 self.rule.discard()
                 continue
             self.rule.confirm()
+            for m in captured:
+                self._pending_capture[(m.row, m.col)] = COLOR_TO_INT[m.color]
             move.number = len(self.moves) + 1
             self.moves.append(move)
             if self.kifu is not None:
@@ -160,21 +182,43 @@ class MoveExtractor:
 
         err=None: stone added manually; exp=None: stone deleted; both set:
         relocated.
+
+        Atomic: every rules op is STAGED and confirmed once at the end; a
+        correction that is illegal against the extractor's (possibly
+        divergent) state discards cleanly and is dropped — the
+        contradiction tracker re-fires later if the disagreement persists.
+        A half-applied relocate (removal confirmed, replacement lost) would
+        otherwise desynchronize the extractor from both board and
+        controller. Move-list edits target the LAST occurrence only: Move
+        equality is (color, position), and a point captured then legally
+        replayed by the same color appears twice — editing both would
+        silently diverge the numbering from the kifu (which edits the last).
         """
-        if err is not None and exp is None:
-            self.rule.remove(err)
-            self.rule.confirm()
-            self.moves = [m for m in self.moves if m != err]
-        elif err is None and exp is not None:
-            self.rule.put(exp, reset=True)
-            self.rule.confirm()
-            self.moves.append(exp)
-        elif err is not None and exp is not None:
-            self.rule.remove(err)
-            self.rule.confirm()
-            self.rule.put(exp)
-            self.rule.confirm()
-            self.moves = [exp if m == err else m for m in self.moves]
+        try:
+            if err is not None and exp is None:
+                self.rule.remove(err)
+                self.rule.confirm()
+                for i in range(len(self.moves) - 1, -1, -1):
+                    if self.moves[i] == err:
+                        del self.moves[i]
+                        break
+            elif err is None and exp is not None:
+                self.rule.put(exp, reset=True)
+                self.rule.confirm()
+                if exp.number < 0:
+                    exp.number = len(self.moves) + 1
+                self.moves.append(exp)
+            elif err is not None and exp is not None:
+                self.rule.remove(err, reset=True)
+                self.rule.put(exp, reset=False)
+                self.rule.confirm()
+                for i in range(len(self.moves) - 1, -1, -1):
+                    if self.moves[i] == err:
+                        self.moves[i] = exp
+                        break
+        except IllegalMove:
+            self.rule.discard()
+            self.rejected += 1
 
 
 def score_moves(detected: list[Move], reference: list[Move],

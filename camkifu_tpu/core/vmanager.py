@@ -173,11 +173,25 @@ class VManager(VManagerBase):
 
     def vision_on(self) -> None:
         if self._thread is not None and self._thread.is_alive():
-            return
+            if not self._stop.is_set():
+                return                      # already running
+            # A stopped worker is still draining (vision_off's bounded join
+            # timed out — e.g. blocked in the 20–40 s first-batch compile).
+            # Never start a second worker while it lives: two pipelines
+            # would interleave read_batch on one capture and race the
+            # finders' state. Wait it out; refuse rather than race.
+            self._thread.join(timeout=60.0)
+            if self._thread.is_alive():
+                self.error_to_gui(
+                    "vision pipeline still shutting down — try again")
+                return
         self.init_capture()
         self.instantiate_finders()
-        self._stop.clear()
-        self._thread = threading.Thread(target=self._worker, daemon=True,
+        # Fresh event per worker generation: the worker captures it at
+        # spawn, so a stale worker can never be resurrected by a clear().
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker,
+                                        args=(self._stop,), daemon=True,
                                         name="vision-pipeline")
         self._thread.start()
 
@@ -188,25 +202,26 @@ class VManager(VManagerBase):
                 f.interrupt()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
-            self._thread = None
+            if not self._thread.is_alive():
+                self._thread = None
 
     # Alias matching the reference's lifecycle verbs.
     run = vision_on
     start = vision_on
     stop = vision_off
 
-    def _worker(self) -> None:
+    def _worker(self, stop: threading.Event) -> None:
         from camkifu_tpu.core.feeder import DeviceFeeder
 
         feeder = DeviceFeeder(self.capture, self.batch)
         try:
             for frames, n, done, last_host in self._relay_errors(feeder):
-                if self._stop.is_set():
+                if stop.is_set():
                     break
                 bf, sf = self.board_finder, self.stones_finder
                 while bf.paused and not bf._step_once \
-                        and not self._stop.is_set():
-                    self._stop.wait(0.02)
+                        and not stop.is_set():
+                    stop.wait(0.02)
                 bf._step_once = sf._step_once = False
                 self.last_frame = np.ascontiguousarray(last_host)
                 try:
@@ -219,7 +234,7 @@ class VManager(VManagerBase):
                 self.stats.record(n, **sf.metadata)
         finally:
             feeder.close()
-            self._stop.set()
+            stop.set()
 
     def _relay_errors(self, feeder):
         """Forward feeder batches; surface a mid-stream capture failure to

@@ -157,6 +157,18 @@ class RuleUnsafe:
 
     # -- convenience ---------------------------------------------------------
 
+    def setup(self, move: Move) -> None:
+        """Place (or clear, color=E) a setup stone — SGF AB/AW/AE semantics.
+
+        Setup properties are POSITION EDITS, not moves: no alternation, no
+        capture resolution, no suicide check. Routing them through put()
+        breaks valid SGFs — a problem file can set up a liberty-less group
+        whose surround is listed later in the same node, which put() rejects
+        as suicide (or worse, silently "captures" earlier setup stones),
+        making the file unloadable.
+        """
+        self.stones[move.row, move.col] = move.color
+
     def as_labels(self) -> np.ndarray:
         """Current grid as int8 labels (0=E, 1=B, 2=W) — the device convention."""
         out = np.zeros((self.gsize, self.gsize), dtype=np.int8)
@@ -180,6 +192,10 @@ class Rule(RuleUnsafe):
     def remove(self, move, reset=True):
         with self.rlock:
             return super().remove(move, reset=reset)
+
+    def setup(self, move):
+        with self.rlock:
+            super().setup(move)
 
     def confirm(self):
         with self.rlock:

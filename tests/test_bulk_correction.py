@@ -43,3 +43,23 @@ def test_bulk_relocate_after_persistent_contradiction():
     assert controller.stones()[3, 4] == 1
     # Finder's internal state agrees with the controller.
     assert (vm.stones_finder.extractor.state() == controller.stones()).all()
+
+
+def test_bulk_update_deferred_while_browsing():
+    """A vision-originated bulk correction must not yank the nav cursor
+    mid-browse (same invariant as cvappend); it flushes when the user
+    returns to the end of the game."""
+    from camkifu_tpu.core.controllerv import ControllerVSeq
+    from camkifu_tpu.gamemodel.move import B, W, Move
+
+    ctrl = ControllerVSeq()
+    for mv in [Move("np", (B, 3, 3)), Move("np", (W, 15, 15)),
+               Move("np", (B, 5, 5))]:
+        ctrl.append(mv)
+    ctrl.nav.goto(1)                          # browsing history
+    ctrl.bulk_update([(None, Move("np", (W, 9, 9)))])
+    assert ctrl.nav.position == 1             # cursor not yanked
+    assert len(ctrl.kifu) == 3                # not yet applied
+    ctrl.nav.end()                            # flushes the deferred bulk
+    assert len(ctrl.kifu) == 4
+    assert ctrl.rules.copystones()[9, 9] == "W"

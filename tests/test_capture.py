@@ -254,3 +254,40 @@ def test_vmanager_surfaces_capture_failure_to_gui():
     controller.process_pipe()
     assert any(ev == "error" and "camera unplugged" in str(a)
                for ev, a in events)
+
+
+def test_prefetch_to_device_delivers_every_batch_to_slow_consumer():
+    """The pump's shutdown path must never evict queued REAL batches to
+    place its end-of-stream sentinel: with a consumer slower than the
+    producer that silently truncated the video's last `depth` batches
+    (measured r3: the final 3 moves of a filecheck game vanished)."""
+    import time
+    from camkifu_tpu.core.feeder import prefetch_to_device
+
+    batches = [(np.full((2, 4, 4, 3), i, np.uint8), 2) for i in range(8)]
+    seen = []
+    for frames, n in prefetch_to_device(iter(batches), depth=2):
+        time.sleep(0.02)               # consumer slower than the producer
+        seen.append(int(np.asarray(frames)[0, 0, 0, 0]))
+    assert seen == list(range(8))
+
+
+def test_prefetch_to_device_pump_exits_on_abandoned_consumer():
+    """Early consumer exit must unblock the pump thread (it used to park
+    forever in q.put, pinning device buffers for the process lifetime)."""
+    import threading
+    import time
+    from camkifu_tpu.core.feeder import prefetch_to_device
+
+    batches = [(np.zeros((1, 4, 4, 3), np.uint8), 1) for _ in range(50)]
+    gen = prefetch_to_device(iter(batches), depth=2)
+    next(gen)
+    gen.close()                        # abandon mid-stream
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(t.name == "prefetch-to-device" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert not any(t.name == "prefetch-to-device" and t.is_alive()
+                   for t in threading.enumerate())

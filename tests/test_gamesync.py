@@ -163,3 +163,67 @@ def test_score_moves_extra_and_substitution():
     s2 = score_moves(det2, ref)
     assert s2["good"] == 9 and s2["wrong"] == 1
     assert s2["missing"] == 0 and s2["extra"] == 0
+
+
+def test_multistone_capture_removal_lag_no_phantom():
+    """B captures a 2-stone W group; readings keep showing the captured
+    stones for many frames (physical removal lags through the removing
+    hand's occlusion). Re-placing ONE of them is legal (the vacated
+    neighbor is a liberty), so without the pending-capture filter a
+    phantom W move is emitted."""
+    ex = MoveExtractor()
+    # W group at (0,0),(0,1); B at (1,0),(1,1),(0,2) captures it.
+    seq = [grid((W, 0, 0)),
+           grid((W, 0, 0), (B, 1, 0)),
+           grid((W, 0, 0), (B, 1, 0), (W, 0, 1)),
+           grid((W, 0, 0), (B, 1, 0), (W, 0, 1), (B, 1, 1))]
+    for s in seq:
+        ex.advance(s)
+    # The capturing move: B(0,2). Reading still shows the captured group.
+    lagged = grid((W, 0, 0), (B, 1, 0), (W, 0, 1), (B, 1, 1), (B, 0, 2))
+    out = ex.advance(lagged)
+    assert out == [Move("np", (B, 0, 2))]
+    assert ex.state()[0, 0] == 0 and ex.state()[0, 1] == 0
+    # Stale group persists across MANY readings: no phantom W moves.
+    for _ in range(30):
+        assert ex.advance(lagged) == []
+    assert len(ex.moves) == 5
+    # Physical removal arrives: consistent, nothing new emitted.
+    clean = grid((B, 1, 0), (B, 1, 1), (B, 0, 2))
+    assert ex.advance(clean) == []
+    # The cleared points are live again: W playing into the vacated area
+    # (not on a suicide point) is a real move.
+    out = ex.advance(grid((B, 1, 0), (B, 1, 1), (B, 0, 2), (W, 5, 5)))
+    assert out == [Move("np", (W, 5, 5))]
+
+
+def test_apply_correction_is_atomic_on_divergence():
+    """A relocate whose replacement is illegal against the extractor's
+    state must apply NOTHING (previously: removal confirmed, replacement
+    raised out — half-applied, extractor desynchronized)."""
+    ex = MoveExtractor()
+    ex.advance(grid((B, 3, 3)))
+    before = ex.state().copy()
+    # Relocate B(3,3) onto (3,3) itself-occupied... use an occupied target:
+    ex.advance(grid((B, 3, 3), (W, 9, 9)))
+    before = ex.state().copy()
+    ex.apply_correction(Move("np", (B, 3, 3)),
+                        Move("np", (B, 9, 9)))   # target occupied by W
+    assert np.array_equal(ex.state(), before)
+    assert [m.coord_tuple() if hasattr(m, 'coord_tuple') else
+            (m.color, m.row, m.col) for m in ex.moves] == \
+        [(B, 3, 3), (W, 9, 9)]
+
+
+def test_apply_correction_deletes_last_occurrence_only():
+    """Move equality is (color, position); after a capture + legal replay
+    the same (color, point) appears twice in the move list — deleting one
+    must not strip both."""
+    ex = MoveExtractor()
+    ex.moves = [Move("np", (B, 2, 2), number=1),
+                Move("np", (W, 5, 5), number=2),
+                Move("np", (B, 2, 2), number=3)]
+    ex.rule.put(Move("np", (B, 2, 2)), reset=True)
+    ex.rule.confirm()
+    ex.apply_correction(Move("np", (B, 2, 2)), None)
+    assert [m.number for m in ex.moves] == [1, 2]

@@ -113,3 +113,24 @@ def test_kifu_load_strips_bom(tmp_path):
     path.write_bytes("﻿(;FF[4]SZ[19];B[cc])".encode("utf-8"))
     k = Kifu.load(str(path))
     assert k.moves()[0].get_coord("sgf") == "cc"
+
+
+def test_problem_sgf_with_liberty_less_setup_group_loads(tmp_path):
+    """SGF setup properties (AB/AW) are position edits, not moves: a valid
+    problem file can set up a liberty-less group whose surround is listed
+    later in the same node. Routing setup through move legality raised
+    'suicide' and made such files unloadable (r3 review finding)."""
+    from camkifu_tpu.core.controllerv import Controller
+
+    # W stones at aa, ba have no liberties once the B surround is placed —
+    # and the B stones are listed AFTER them in the same node.
+    sgf = ("(;FF[4]GM[1]SZ[19]"
+           "AW[aa][ba]AB[ca][ab][bb]"
+           ";B[pd];W[dp])")
+    p = tmp_path / "problem.sgf"
+    p.write_text(sgf)
+    ctrl = Controller(str(p))                 # must not raise
+    stones = ctrl.rules.copystones()
+    assert stones[0, 0] == "W" and stones[0, 1] == "W"   # kept, not captured
+    assert stones[0, 2] == "B" and stones[1, 0] == "B"
+    assert len(ctrl.kifu) == 2
