@@ -19,6 +19,13 @@ from camkifu_tpu.gamemodel.move import (B, COLOR_TO_INT, INT_TO_COLOR, Move,
                                         opposite)
 from camkifu_tpu.gamemodel.rules import IllegalMove, RuleUnsafe
 
+#: Readings a captured stone may keep appearing before its pending-removal
+#: entry expires (≈6 s of stabilized readings at 25 fps — generous for a
+#: player lifting captures out). Past this, a point still showing the
+#: captured color is treated as a genuine replay (too-fast ko) and handed
+#: to the bulk contradiction tracker.
+PENDING_CAPTURE_TTL = 160
+
 
 class MoveExtractor:
     """Turns a stream of stabilized board readings into an ordered move list.
@@ -52,17 +59,20 @@ class MoveExtractor:
         self.moves: list[Move] = []
         self.rejected = 0
         self._hold: dict[tuple[int, int], int] = {}
-        #: Captured stones awaiting PHYSICAL removal: point → captured color
-        #: int. Readings keep showing a captured group for seconds (votes
-        #: hold through the removing hand's occlusion) — without this filter
-        #: those stale stones re-read as "new" and, for multi-stone captures
-        #: (where re-placing one stone is NOT suicide — the vacated
-        #:  neighbors are its liberties), get emitted as phantom enemy
-        #: moves. An entry clears the moment the point stops reading as the
-        #: captured color; a genuine too-fast ko replay (point never seen
-        #: empty) is repaired by the bulk contradiction tracker instead —
-        #: a late real move beats a phantom one.
-        self._pending_capture: dict[tuple[int, int], int] = {}
+        #: Captured stones awaiting PHYSICAL removal: point → [captured
+        #: color int, readings left]. Readings keep showing a captured
+        #: group for seconds (votes hold through the removing hand's
+        #: occlusion) — without this filter those stale stones re-read as
+        #: "new" and, for multi-stone captures (where re-placing one stone
+        #: is NOT suicide — the vacated neighbors are its liberties), get
+        #: emitted as phantom enemy moves. An entry clears the moment the
+        #: point stops reading as the captured color, or after
+        #: PENDING_CAPTURE_TTL readings: physical removal lag is bounded,
+        #: and a point STILL showing that color past the TTL is a genuine
+        #: too-fast ko replay (never seen empty) — expiring hands it to the
+        #: bulk contradiction tracker for repair, a late real move beating
+        #: a phantom one.
+        self._pending_capture: dict[tuple[int, int], list[int]] = {}
         self._resume_next: str | None = None   # alternation seed after resume
 
     # -- queries ---------------------------------------------------------
@@ -80,6 +90,18 @@ class MoveExtractor:
         the extractor's own move list is empty but the game is mid-flight)."""
         self._resume_next = color
 
+    def stale_capture_mask(self, reading: np.ndarray) -> np.ndarray:
+        """Bool (g, g): points whose reading is EXPLAINED by a captured
+        stone awaiting physical removal. The contradiction tracker must not
+        count these — a player leaving captures on the board for a few
+        seconds (> BULK_CORRECT_AFTER frames) is normal play, and a bulk
+        "fix" would resurrect the dead group in the kifu."""
+        out = np.zeros(reading.shape, bool)
+        for (r, c), (color, _left) in self._pending_capture.items():
+            if int(reading[r, c]) == color:
+                out[r, c] = True
+        return out
+
     # -- main entry ------------------------------------------------------
 
     def advance(self, reading: np.ndarray) -> list[Move]:
@@ -89,10 +111,14 @@ class MoveExtractor:
         self._hold = {k: v for k, v in self._hold.items()
                       if reading[k[0], k[1]] != 0}
         # A pending-removal point that no longer reads as the captured color
-        # has physically caught up (removed, or replaced by the other color).
-        self._pending_capture = {
-            k: v for k, v in self._pending_capture.items()
-            if int(reading[k[0], k[1]]) == v}
+        # has physically caught up (removed, or replaced by the other
+        # color); one still showing it past the TTL is a too-fast ko replay
+        # — expire it so the contradiction tracker can repair.
+        nxt = {}
+        for k, (color, left) in self._pending_capture.items():
+            if int(reading[k[0], k[1]]) == color and left > 1:
+                nxt[k] = [color, left - 1]
+        self._pending_capture = nxt
         emitted: list[Move] = []
         # Up to two single-move steps per reading (two-stone catch-up case);
         # any residual discrepancy is left for future (better) readings.
@@ -114,7 +140,8 @@ class MoveExtractor:
             return None
         new_positions = [
             p for p in zip(*np.nonzero(new_mask))
-            if self._pending_capture.get((int(p[0]), int(p[1])))
+            if self._pending_capture.get(
+                (int(p[0]), int(p[1])), (None,))[0]
             != int(reading[p])]            # stale captured stones, not moves
         if not new_positions:
             if gone_mask.any():
@@ -164,7 +191,8 @@ class MoveExtractor:
                 continue
             self.rule.confirm()
             for m in captured:
-                self._pending_capture[(m.row, m.col)] = COLOR_TO_INT[m.color]
+                self._pending_capture[(m.row, m.col)] = \
+                    [COLOR_TO_INT[m.color], PENDING_CAPTURE_TTL]
             move.number = len(self.moves) + 1
             self.moves.append(move)
             if self.kifu is not None:

@@ -185,7 +185,7 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
     from camkifu_tpu.utils import synth
 
     if video_spec.startswith("synth:"):
-        # synth:N[:seed][:hard|real][:flicker][:palette] — rendered game with known
+        # synth:N[:seed][:hard|real][:flicker][:caps][:palette] — rendered game with known
         # ground truth; 'hard' adds stone jitter, a 30% lighting gradient,
         # defocus blur, and a soft shadow (the adversarial eval for the
         # ≥99% target); 'real' adds, on top of hard, procedural wood-grain
@@ -209,18 +209,27 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
             # Auto-exposure hunting: per-frame global gain walk ±15%, with
             # a reactive dip while the hand is in frame (synth.render_game).
             game_kw["flicker"] = 0.15
+        if "caps" in rest:
+            # Capture-rich scripted game, with captured stones physically
+            # lingering past the bulk-correction threshold (players lift
+            # captures out seconds late) — exercises the pending-capture
+            # filter and the explained-contradiction gate end-to-end.
+            from camkifu_tpu.stone.stonesfinder import BULK_CORRECT_AFTER
+            game_kw["removal_lag"] = BULK_CORRECT_AFTER + 20
         palette = next((p for p in rest if p in synth.PALETTES), None)
         if palette:
             hard_kw["palette"] = palette
         bad = [p for p in rest
-               if not (p.isdigit() or p in ("hard", "real", "flicker")
+               if not (p.isdigit() or p in ("hard", "real", "flicker", "caps")
                        or p in synth.PALETTES)]
         if bad:
             raise ValueError(
                 f"unknown synth spec token(s) {bad}: expected a seed, "
-                f"'hard'/'real'/'flicker', or a palette in "
+                f"'hard'/'real'/'flicker'/'caps', or a palette in "
                 f"{sorted(synth.PALETTES)}")
-        moves = synth.sample_moves(n_moves, seed=seed)
+        moves = (synth.capture_rich_moves(n_moves, seed=seed)
+                 if "caps" in rest else
+                 synth.sample_moves(n_moves, seed=seed))
         ref_moves = moves
         gt_corners = synth.default_corners((720, 1280))
         # With temporal votes a stone must persist ≈ the vote window before

@@ -157,6 +157,11 @@ class StonesFinder(VidProcessor):
         the controller's bulk channel."""
         state = self.extractor.state()
         diff = reading != state
+        # Captured stones awaiting physical removal are EXPLAINED
+        # contradictions: never count them toward a bulk fix (players
+        # leave captures on the board well past BULK_CORRECT_AFTER; a
+        # "fix" would resurrect the dead group in the kifu).
+        diff &= ~self.extractor.stale_capture_mask(reading)
         self._contradict = np.where(diff, self._contradict + 1, 0)
         hits = np.argwhere(self._contradict >= BULK_CORRECT_AFTER)
         if hits.size == 0:

@@ -348,7 +348,7 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
                 frame_hw: tuple[int, int] = (720, 1280),
                 gsize: int = guiconf.gsize, seed: int = 0,
                 empty_leadin: int = 2, hand_frames: int = 0,
-                flicker: float = 0.0,
+                flicker: float = 0.0, removal_lag: int = 0,
                 **frame_kwargs):
     """Yield (frame, state_labels) for a whole game: ``empty_leadin`` frames of
     the empty board, then ``frames_per_move`` frames after each move. Extra
@@ -365,6 +365,13 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
     compensates for the bright hand exactly when moves are played). At
     flicker=0.15 consecutive-frame steps reach ~10–15% — the regime
     measured to stall an exposure-naive motion gate board-wide.
+
+    removal_lag > 0 keeps CAPTURED stones physically on the board for that
+    many frames after the capturing move (real players lift captures out
+    seconds late, often after the next move is already played); a hand
+    sweeps over the group on its final lingering frames when hand_frames
+    is on. The yielded state is the RENDERED one (stale stones included) —
+    it is what the frame shows; game truth is ``game_states(moves)``.
     """
     import cv2
 
@@ -387,6 +394,15 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
         return np.clip(frame.astype(np.float32) * gain, 0, 255) \
             .astype(np.uint8)
 
+    def to_frame_xy(row, col):
+        p = M @ np.array([(col + 0.5) * zone, (row + 0.5) * zone, 1.0])
+        return p[0] / p[2], p[1] / p[2]
+
+    #: (row, col) → [color_int, frames_left] of captured-but-not-yet-removed
+    #: stones; counts down across move boundaries (lag routinely spans them).
+    linger: dict[tuple[int, int], list[int]] = {}
+    prev_state = empty
+
     i = 0
     for _ in range(empty_leadin):
         frame, _ = render_frame(empty, corners, frame_hw, seed=seed + i,
@@ -394,23 +410,109 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
         i += 1
         yield expose(frame, False), empty
     for state, move in game_states(moves, gsize):
+        if removal_lag and (move.row, move.col) in linger:
+            # The next move lands on a point whose captured stone is still
+            # physically there — impossible: the player sweeps the dead
+            # stones off first. Render that cleanup as a beat of the TRUE
+            # pre-move position (all lingering captures gone) so readings
+            # see the vacated points empty before the stone arrives.
+            linger.clear()
+            for _ in range(frames_per_move):
+                frame, _ = render_frame(prev_state, corners, frame_hw,
+                                        seed=seed + i, jitter_seed=seed,
+                                        **frame_kwargs)
+                i += 1
+                yield expose(frame, False), prev_state
+        if removal_lag:
+            gone = (prev_state != 0) & (state == 0)
+            for r, c in np.argwhere(gone):
+                linger[(int(r), int(c))] = [int(prev_state[r, c]),
+                                            removal_lag]
+        prev_state = state
         for j in range(frames_per_move):
             hand = None
             if hand_frames and j < hand_frames:
-                p = M @ np.array([(move.col + 0.5) * zone,
-                                  (move.row + 0.5) * zone, 1.0])
-                hand = (p[0] / p[2], p[1] / p[2],
-                        1.0 - j / float(hand_frames))
-            frame, _ = render_frame(state, corners, frame_hw, seed=seed + i,
+                x, y = to_frame_xy(move.row, move.col)
+                hand = (x, y, 1.0 - j / float(hand_frames))
+            shown = state
+            if linger:
+                shown = state.copy()
+                removing = []
+                for (r, c), entry in list(linger.items()):
+                    color, left = entry
+                    if left <= 0 or state[r, c] != 0:
+                        del linger[(r, c)]     # removed, or legally reused
+                        continue
+                    shown[r, c] = color
+                    entry[1] = left - 1
+                    if left <= hand_frames:
+                        removing.append((r, c, left))
+                if removing and hand is None and hand_frames:
+                    # The removing hand reaches IN over the group it is
+                    # lifting out (reach grows as frames_left shrinks).
+                    rr = float(np.mean([r for r, _, _ in removing]))
+                    cc = float(np.mean([c for _, c, _ in removing]))
+                    x, y = to_frame_xy(rr, cc)
+                    hand = (x, y,
+                            1.0 - min(l for _, _, l in removing)
+                            / float(hand_frames))
+            frame, _ = render_frame(shown, corners, frame_hw, seed=seed + i,
                                     jitter_seed=seed, hand=hand,
                                     **frame_kwargs)
             i += 1
-            yield expose(frame, hand is not None), state
+            yield expose(frame, hand is not None), shown
 
 
 def moves_from_sgf(path: str) -> list[Move]:
     from camkifu_tpu.gamemodel.kifu import Kifu
     return Kifu.load(path).moves()
+
+
+def capture_rich_moves(n: int = 24, gsize: int = guiconf.gsize,
+                       seed: int = 7) -> list[Move]:
+    """An alternating game guaranteed to contain captures: a scripted
+    opening where B captures a TWO-stone W group (move 11) and then a
+    single W stone (move 19), padded to ``n`` with random capture-free
+    filler. Multi-stone captures are the adversarial case for move
+    extraction: re-placing one captured stone is legal (its vacated
+    neighbors are liberties), so a reading that still shows the group
+    pending physical removal looks like playable new moves.
+    """
+    assert gsize >= 19, "the scripted set pieces assume a 19x19 board"
+    script = [
+        # B builds the surround of W (2,2)+(2,3); W tenukis top-right.
+        (B, 3, 2), (W, 2, 2), (B, 2, 1), (W, 2, 3), (B, 1, 2), (W, 15, 15),
+        (B, 1, 3), (W, 16, 3), (B, 3, 3), (W, 13, 13),
+        (B, 2, 4),                         # captures W (2,2) and (2,3)
+        # Single-stone capture of W (9,9).
+        (W, 9, 9), (B, 8, 9), (W, 5, 15), (B, 10, 9), (W, 4, 16),
+        (B, 9, 8), (W, 3, 15),
+        (B, 9, 10),                        # captures W (9,9)
+    ]
+    rule = RuleUnsafe(gsize=gsize)
+    moves = []
+    for spec in script:                    # never truncated: n < len(script)
+        m = Move("np", spec, gsize=gsize)  # returns the whole script (the
+        rule.put(m)                        # captures are the point)
+        rule.confirm()
+        moves.append(m)
+    rng = np.random.default_rng(seed)
+    color = W if moves[-1].color == B else B
+    tries = 0
+    while len(moves) < n and tries < 80 * n:
+        tries += 1
+        r, c = int(rng.integers(gsize)), int(rng.integers(gsize))
+        m = Move("np", (color, r, c), gsize=gsize)
+        try:
+            if rule.put(m):                # filler must not capture
+                rule.discard()
+                continue
+            rule.confirm()
+        except Exception:
+            continue
+        moves.append(m)
+        color = W if color == B else B
+    return moves
 
 
 def sample_moves(n: int = 40, gsize: int = guiconf.gsize, seed: int = 7

@@ -45,6 +45,53 @@ def test_bulk_relocate_after_persistent_contradiction():
     assert (vm.stones_finder.extractor.state() == controller.stones()).all()
 
 
+def test_render_game_removal_lag_lingers_exact_frames():
+    """removal_lag keeps a captured stone in the rendered state for exactly
+    that many frames after the capturing move, spanning move boundaries."""
+    mv = [Move("np", s) for s in
+          [(B, 1, 0), (W, 0, 0), (B, 0, 1),    # B captures W(0,0)
+           (W, 5, 5), (B, 7, 7)]]
+    labs = [lab for _, lab in synth.render_game(
+        mv, frames_per_move=2, frame_hw=(180, 240), empty_leadin=0,
+        removal_lag=3)]
+    present = [int(l[0, 0]) for l in labs]
+    # W occupies (0,0) from move 2 (frames 2-3); the capture at move 3
+    # (frame 4) starts the 3-frame linger: frames 4, 5, 6 — empty after.
+    assert present == [0, 0, 2, 2, 2, 2, 2, 0, 0, 0]
+
+
+def test_lingering_captures_not_bulk_resurrected():
+    """Full pipeline on a capture-rich game where captured stones stay
+    physically on the board past BULK_CORRECT_AFTER (players lift captures
+    out seconds late). The pending-capture filter must not emit phantom
+    moves for the stale group, and the contradiction tracker must treat it
+    as an EXPLAINED disagreement — not bulk-resurrect the dead stones."""
+    moves = synth.capture_rich_moves(24, seed=11)
+    corners = synth.default_corners(HW)
+    lag = BULK_CORRECT_AFTER + 8
+    frames = [f for f, _ in synth.render_game(
+        moves, frames_per_move=6, corners=corners, frame_hw=HW, seed=5,
+        empty_leadin=2, removal_lag=lag)]
+
+    controller = ControllerVSeq()
+    vm = VManagerSeq(controller, video=None, bf_class=BoardFinderManual,
+                     sf_class=SfClustering, batch=8)
+    vm.capture = ArrayCapture(frames)
+    vm.instantiate_finders()
+    vm.board_finder.key = None
+    vm.board_finder.set_corners(corners)
+    vm.run()
+
+    got = [(m.color, m.row, m.col) for m in controller.kifu.moves()]
+    want = [(m.color, m.row, m.col) for m in moves]
+    assert got == want
+    # Board truth: both captured W groups are gone from every model.
+    from camkifu_tpu.utils.synth import game_states
+    final = list(game_states(moves))[-1][0]
+    assert (controller.stones() == final).all()
+    assert (vm.stones_finder.extractor.state() == final).all()
+
+
 def test_bulk_update_deferred_while_browsing():
     """A vision-originated bulk correction must not yank the nav cursor
     mid-browse (same invariant as cvappend); it flushes when the user

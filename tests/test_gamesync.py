@@ -197,6 +197,56 @@ def test_multistone_capture_removal_lag_no_phantom():
     assert out == [Move("np", (W, 5, 5))]
 
 
+def test_stale_capture_mask_tracks_pending_removal():
+    """The mask flags exactly the captured-awaiting-removal points that the
+    reading still shows, and clears per point once the reading catches up
+    (the contradiction tracker keys off this)."""
+    ex = MoveExtractor()
+    for s in [grid((W, 0, 0)), grid((W, 0, 0), (B, 1, 0))]:
+        ex.advance(s)
+    lagged = grid((W, 0, 0), (B, 1, 0), (B, 0, 1))   # B captures W(0,0)
+    ex.advance(lagged)
+    m = ex.stale_capture_mask(lagged)
+    assert m[0, 0] and m.sum() == 1
+    # Reading catches up: the point is empty now → mask clears.
+    clean = grid((B, 1, 0), (B, 0, 1))
+    ex.advance(clean)
+    assert not ex.stale_capture_mask(clean).any()
+
+
+def test_ko_recapture_never_seen_empty_repairs_after_ttl():
+    """Too-fast ko: W recaptures at the pending-removal point so fast the
+    reading NEVER shows it empty. The pending filter must not suppress the
+    recapture forever — after PENDING_CAPTURE_TTL the stale entry expires
+    and the extractor emits the late real move (capturing B's ko stone)."""
+    from camkifu_tpu.core.gamesync import PENDING_CAPTURE_TTL
+
+    ex = MoveExtractor()
+    p, q = (5, 5), (5, 4)
+    setup = [(B, 4, 5), (W, 4, 4), (B, 6, 5), (W, 6, 4), (B, 5, 6),
+             (W, 5, 3), (B, 16, 16), (W, *p)]
+    stones = []
+    for s in setup:
+        stones.append(s)
+        ex.advance(grid(*stones))
+    # B takes the ko: captures W at p.
+    stones.append((B, *q))
+    out = ex.advance(grid(*stones))
+    assert out == [Move("np", (B, *q))]
+    assert ex.state()[p] == 0
+    # W recaptures during the same occlusion: the reading never shows p
+    # empty; q (B's captured ko stone) clears once physically lifted.
+    after = [s for s in stones if (s[1], s[2]) != q]   # W@p still listed
+    reading = grid(*after)
+    for _ in range(PENDING_CAPTURE_TTL - 1):
+        assert ex.advance(reading) == []
+    out = ex.advance(reading)                          # TTL expired
+    assert out == [Move("np", (W, *p))]
+    assert ex.state()[q] == 0 and ex.state()[p] == 2
+    assert [(m.color, m.row, m.col) for m in ex.moves[-2:]] == \
+        [("B", *q), ("W", *p)]
+
+
 def test_apply_correction_is_atomic_on_divergence():
     """A relocate whose replacement is illegal against the extractor's
     state must apply NOTHING (previously: removal confirmed, replacement
