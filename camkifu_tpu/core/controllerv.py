@@ -246,12 +246,19 @@ class ControllerV(Controller):
             self._notify("vision_deferred", None)
             return
         for err, exp in updates:
-            if err is None and exp is not None:
-                self.append(exp)
-            elif err is not None and exp is None:
-                self.delete(err)
-            elif err is not None and exp is not None:
-                self.relocate(err, exp)
+            # Per-item isolation (same as the deferred-move flush): by the
+            # time a deferred correction applies, the user may have edited
+            # the same stone — one stale item must not abort the rest, and
+            # a raise mid-flush would escape into the navigation call.
+            try:
+                if err is None and exp is not None:
+                    self.append(exp)
+                elif err is not None and exp is None:
+                    self.delete(err)
+                elif err is not None and exp is not None:
+                    self.relocate(err, exp)
+            except (IllegalMove, KeyError, ValueError) as exc:
+                self._notify("error", f"bulk correction dropped: {exc}")
 
     # -- human-correction feedback (GUI → vision; SURVEY §3.4) ---------------
 

@@ -89,6 +89,7 @@ def prefetch_to_device(batches, depth: int = 2):
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
+    err: list[BaseException] = []   # pump → consumer failure relay
 
     def pump():
         try:
@@ -106,6 +107,12 @@ def prefetch_to_device(batches, depth: int = 2):
                         break
                     except queue.Full:
                         continue
+        except BaseException as exc:   # noqa: BLE001 — relayed, not eaten
+            # A decode/device_put failure must not masquerade as clean
+            # end-of-stream: the consumer would score a silently truncated
+            # game instead of surfacing the error (same contract as
+            # DeviceFeeder._pump). Recorded before the sentinel lands.
+            err.append(exc)
         finally:
             # Sentinel must always land — but NEVER at the cost of queued
             # real batches while the consumer is still draining (evicting
@@ -134,6 +141,9 @@ def prefetch_to_device(batches, depth: int = 2):
         while True:
             item = q.get()
             if item is None:
+                if err:
+                    raise RuntimeError(
+                        "frame prefetch failed mid-stream") from err[0]
                 return
             yield item
     finally:

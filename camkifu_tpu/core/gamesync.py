@@ -26,6 +26,13 @@ from camkifu_tpu.gamemodel.rules import IllegalMove, RuleUnsafe
 #: to the bulk contradiction tracker.
 PENDING_CAPTURE_TTL = 160
 
+#: Consecutive readings NOT showing the captured color before a pending-
+#: removal entry clears. One transient misread (the removing hand grazing
+#: the point on the per-frame path) must not drop the entry — the stale
+#: stone would re-read as "new" next frame and become the phantom move the
+#: mechanism exists to prevent.
+PENDING_CLEAR_READINGS = 3
+
 
 class MoveExtractor:
     """Turns a stream of stabilized board readings into an ordered move list.
@@ -60,7 +67,8 @@ class MoveExtractor:
         self.rejected = 0
         self._hold: dict[tuple[int, int], int] = {}
         #: Captured stones awaiting PHYSICAL removal: point → [captured
-        #: color int, readings left]. Readings keep showing a captured
+        #: color int, readings left, consecutive non-matching readings].
+        #: Readings keep showing a captured
         #: group for seconds (votes hold through the removing hand's
         #: occlusion) — without this filter those stale stones re-read as
         #: "new" and, for multi-stone captures (where re-placing one stone
@@ -97,7 +105,7 @@ class MoveExtractor:
         seconds (> BULK_CORRECT_AFTER frames) is normal play, and a bulk
         "fix" would resurrect the dead group in the kifu."""
         out = np.zeros(reading.shape, bool)
-        for (r, c), (color, _left) in self._pending_capture.items():
+        for (r, c), (color, _left, _miss) in self._pending_capture.items():
             if int(reading[r, c]) == color:
                 out[r, c] = True
         return out
@@ -110,14 +118,21 @@ class MoveExtractor:
         # Holds for positions no longer reading as stones are stale.
         self._hold = {k: v for k, v in self._hold.items()
                       if reading[k[0], k[1]] != 0}
-        # A pending-removal point that no longer reads as the captured color
-        # has physically caught up (removed, or replaced by the other
-        # color); one still showing it past the TTL is a too-fast ko replay
-        # — expire it so the contradiction tracker can repair.
+        # A pending-removal point reading as something other than the
+        # captured color for PENDING_CLEAR_READINGS in a row has physically
+        # caught up (removed, or replaced); one still showing it past the
+        # TTL is a too-fast ko replay — expire it so the late real move
+        # can be emitted / the contradiction tracker can repair.
         nxt = {}
-        for k, (color, left) in self._pending_capture.items():
-            if int(reading[k[0], k[1]]) == color and left > 1:
-                nxt[k] = [color, left - 1]
+        for k, (color, left, misses) in self._pending_capture.items():
+            if int(reading[k[0], k[1]]) == color:
+                misses = 0
+            else:
+                misses += 1
+                if misses >= PENDING_CLEAR_READINGS:
+                    continue
+            if left > 1:
+                nxt[k] = [color, left - 1, misses]
         self._pending_capture = nxt
         emitted: list[Move] = []
         # Up to two single-move steps per reading (two-stone catch-up case);
@@ -192,7 +207,7 @@ class MoveExtractor:
             self.rule.confirm()
             for m in captured:
                 self._pending_capture[(m.row, m.col)] = \
-                    [COLOR_TO_INT[m.color], PENDING_CAPTURE_TTL]
+                    [COLOR_TO_INT[m.color], PENDING_CAPTURE_TTL, 0]
             move.number = len(self.moves) + 1
             self.moves.append(move)
             if self.kifu is not None:

@@ -179,8 +179,10 @@ class VManager(VManagerBase):
             # timed out — e.g. blocked in the 20–40 s first-batch compile).
             # Never start a second worker while it lives: two pipelines
             # would interleave read_batch on one capture and race the
-            # finders' state. Wait it out; refuse rather than race.
-            self._thread.join(timeout=60.0)
+            # finders' state. And never block here: this runs on the Tk
+            # main thread (pipe drain), so refuse fast and let the user
+            # retry rather than freeze the GUI waiting.
+            self._thread.join(timeout=0.5)
             if self._thread.is_alive():
                 self.error_to_gui(
                     "vision pipeline still shutting down — try again")

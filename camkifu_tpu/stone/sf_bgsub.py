@@ -89,7 +89,12 @@ def step_frame(state: BgSubState, canonical: jnp.ndarray,
     # sustained auto-exposure shift biases EVERY disc's |luma − bg| by
     # ~gain·luma — at 20% that is ≈0.11, most of PRESENCE_THRESH, flipping
     # whole boards into phantom stones until the EMA re-converges.
-    luma = luma / background.robust_gain(luma, bg)
+    # The gain is one global scalar: estimate it on the 4×-downsampled
+    # luma (already computed for the motion gate) against an equally
+    # downsampled background — the full-res histogram costs ~16× more
+    # comparisons inside this per-frame scan for the same median.
+    bg_small = background.downsample_luma(bg, GATE_FACTOR)
+    luma = luma / background.robust_gain(small, bg_small)
 
     # Presence: disc median of (luma − bg) per zone.
     zones_diff = extract_zones((luma - bg)[..., None], gsize, zone)[..., 0]

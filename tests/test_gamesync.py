@@ -188,6 +188,14 @@ def test_multistone_capture_removal_lag_no_phantom():
     for _ in range(30):
         assert ex.advance(lagged) == []
     assert len(ex.moves) == 5
+    # One transient misread (removing hand grazes a dead stone: the point
+    # flashes E for a single reading) must NOT drop the pending entry —
+    # the stale stone re-reading as "new" next frame would otherwise be
+    # emitted as a phantom W move.
+    flash = grid((B, 1, 0), (W, 0, 1), (B, 1, 1), (B, 0, 2))  # (0,0) reads E
+    assert ex.advance(flash) == []
+    assert ex.advance(lagged) == []            # stale stone back: filtered
+    assert len(ex.moves) == 5
     # Physical removal arrives: consistent, nothing new emitted.
     clean = grid((B, 1, 0), (B, 1, 1), (B, 0, 2))
     assert ex.advance(clean) == []
