@@ -1005,6 +1005,15 @@ TRACK_REF_EMA = 0.15
 #: of unmodeled perspective drift decays alignment below ~0.55.
 TRACK_ALIGN_TRIP = 0.6
 
+#: Discontinuity trip-wire: the max credible per-frame tracked-corner step,
+#: in cells. Handheld drift/rotation measures ≤~0.1 cell/frame; a camera
+#: BUMP can land the correlation on a whole-cell-shifted lattice that is
+#: both sharp AND well-aligned (the lattice is periodic — measured: a
+#: 40 px knock read as a clean lock 1 cell off, silently relocating every
+#: stone). Any step beyond this is a discontinuity: re-detect, and tell
+#: the stones finder its evidence for the batch is suspect.
+TRACK_JUMP_TRIP = 0.25
+
 
 def _profile_shift(profile: jnp.ndarray, delta) -> jnp.ndarray:
     """Translate a 1D profile by `delta` (sub-pixel, edge-clamped)."""
@@ -1642,10 +1651,15 @@ class BoardFinderAuto(BoardFinder):
         self._estimate: np.ndarray | None = None
         self.track_seed = None             # device (4, 2), batch-fresh
         self._align_anchor: float | None = None  # align at last re-anchor
+        self._prev_tracked_last: np.ndarray | None = None  # (4, 2) continuity
+        #: True while this batch's tracking hit a discontinuity (jump trip):
+        #: stones finders must not trust readings made with these corners.
+        self.suspect_batch = False
 
     def _doframe(self, frames, n: int | None = None) -> None:
         import jax.numpy as jnp
 
+        self.suspect_batch = False
         super()._doframe(frames, n)        # periodic _detect + publish
         if not self.ready():
             self.corners_batch = None
@@ -1665,11 +1679,15 @@ class BoardFinderAuto(BoardFinder):
             else:
                 self.track_seed = jnp.asarray(
                     0.5 * seed_np + 0.5 * est, jnp.float32)
-            # A fresh anchor resets the alignment baseline too.
+            # A fresh anchor resets the alignment baseline and the
+            # frame-to-frame continuity reference (a legitimate re-anchor
+            # step must not read as a discontinuity).
             self._align_anchor = None
+            self._prev_tracked_last = None
         if self.track_seed is None:
             self.track_seed = jnp.asarray(self.corners_array, jnp.float32)
             self._align_anchor = None
+            self._prev_tracked_last = None
         sf = getattr(self.vmanager, "stones_finder", None)
         if getattr(sf, "fused_tracking", False):
             # The stones finder tracks inside its fused rectify+classify
@@ -1694,7 +1712,7 @@ class BoardFinderAuto(BoardFinder):
                         mean_sharp: float,
                         mean_align: float | None = None) -> None:
         """Adopt a batch's per-frame tracking result (own or the fused
-        stones-finder pass). Two independent trip-wires force a full
+        stones-finder pass). Three independent trip-wires force a full
         re-detection on the next batch:
 
         - sharpness collapse — tracking lost outright (bump, occlusion);
@@ -1706,8 +1724,36 @@ class BoardFinderAuto(BoardFinder):
           EMA-adapted, so arbitrarily slow decay still trips, but a later
           cleaner batch can raise a pin depressed by a partially occluded
           first batch (which would otherwise put the trip threshold out of
-          reach of real drift).
+          reach of real drift);
+        - frame-to-frame discontinuity (TRACK_JUMP_TRIP) — a camera bump.
+          Neither other wire can see it: after a knock the correlation
+          locks onto a whole-cell-shifted alias of the periodic lattice
+          that is both sharp and well-aligned, silently relocating every
+          stone. A step this large is also beyond the correlation window,
+          so the tracked batch is untrustworthy by construction — drop it
+          and flag it suspect so stones finders discard the batch too.
         """
+        cb = np.asarray(corners_batch)
+        steps = np.linalg.norm(np.diff(cb, axis=0), axis=-1)       # (B-1, 4)
+        if self._prev_tracked_last is not None:
+            steps = np.concatenate([np.linalg.norm(
+                cb[:1] - self._prev_tracked_last[None], axis=-1), steps])
+        cell = np.linalg.norm(cb[-1, 1] - cb[-1, 0]) / (self.gsize - 1)
+        max_step = float(steps.max()) if steps.size else 0.0
+        self.metadata["track_step"] = round(max_step, 2)
+        if cell > 1.0 and max_step > TRACK_JUMP_TRIP * cell:
+            self._since_detect = 10 ** 9      # force re-detect next batch
+            self.track_seed = None
+            self.corners_batch = None
+            self._align_anchor = None
+            self._prev_tracked_last = None
+            self.suspect_batch = True
+            self.metadata["track_trip"] = "jump"
+            sf = getattr(self.vmanager, "stones_finder", None)
+            if sf is not None:
+                sf.on_tracking_discontinuity()
+            return
+        self._prev_tracked_last = cb[-1]
         self.corners_batch = corners_batch
         self.track_seed = new_seed
         self.metadata["track_sharpness"] = round(mean_sharp, 2)
@@ -1723,6 +1769,7 @@ class BoardFinderAuto(BoardFinder):
             self.track_seed = None
             self.corners_batch = None
             self._align_anchor = None
+            self._prev_tracked_last = None
 
     def _detect(self, frames) -> bool:
         import jax.numpy as jnp

@@ -316,6 +316,12 @@ class SfMeta(_SF):
         bf.report_tracking(_np.asarray(corners), new_seed,
                            float(_np.asarray(sharp).mean()),
                            bf.batch_align(align, sharp))
+        if getattr(bf, "suspect_batch", False):
+            # Jump trip fired on this batch: the labels were read through
+            # discontinuous corners (on_tracking_discontinuity already
+            # reset the scan state) — never diff them into moves.
+            self.metadata["status"] = "re-anchoring"
+            return
         self._report(agitation)
         self._consume(labels, n)
 
@@ -351,3 +357,13 @@ class SfMeta(_SF):
 
     def _invalidate(self, positions) -> None:
         self.state = reset_votes(self.state, positions)
+
+    def on_tracking_discontinuity(self) -> None:
+        """Camera bump: the batch just folded into the scan state was read
+        through wrong corners (on the fused path the evidence lands before
+        the trip can fire). Re-seed perception from the game model — the
+        committed kifu is the surviving ground truth — and zero the votes,
+        discarding the poisoned accumulation."""
+        board = self.controller.stones() if self.controller is not None \
+            else self.extractor.state()
+        self.state = set_stable(self.state, board)

@@ -137,6 +137,12 @@ class StonesFinder(VidProcessor):
         bf = getattr(self.vmanager, "board_finder", None)
         if bf is None or not bf.ready():
             return None
+        if getattr(bf, "suspect_batch", False):
+            # Tracking hit a discontinuity (camera bump) this batch: the
+            # published corners are stale and the frames' true pose is
+            # unknown until re-detection — reading them would feed the
+            # vote machine confidently wrong evidence. Sit the batch out.
+            return None
         cb = getattr(bf, "corners_batch", None)
         if self.accepts_corner_batch and cb is not None:
             return cb                       # per-frame corners (tracking)
@@ -145,6 +151,13 @@ class StonesFinder(VidProcessor):
     def _find(self, frames, corners):
         """Batched device classification → (labels (B, g, g), conf)."""
         raise NotImplementedError
+
+    def on_tracking_discontinuity(self) -> None:
+        """The board finder detected a camera bump (tracking jump trip):
+        any temporal evidence accumulated this batch was read through
+        wrong corners. Stateless finders have nothing to do; finders with
+        vote state override this to discard it (the committed game model
+        is the surviving ground truth)."""
 
     # -- self-correction: persistent contradictions → bulk fixes ------------
 

@@ -189,6 +189,62 @@ def test_runtime_auto_tracking_end_to_end():
         [(m.color, m.row, m.col) for m in moves]
 
 
+def test_camera_bump_recovers_end_to_end():
+    """Camera knocked mid-game: an instantaneous 40-px + 2.5° pose jump —
+    far beyond the per-frame correlation window — must collapse tracking,
+    trip the forced re-detection, and re-anchor fast enough that every
+    move before AND after the bump is read (the discrete counterpart of
+    the gradual drift/rotation cases above)."""
+    from camkifu_tpu.board.bf_auto import BoardFinderAuto
+    from camkifu_tpu.core.capture import ArrayCapture
+    from camkifu_tpu.core.controllerv import ControllerVSeq
+    from camkifu_tpu.core.vmanager import VManagerSeq
+    from camkifu_tpu.stone.sf_meta import SfMeta
+
+    moves = synth.sample_moves(6, seed=17)
+    fpm = cvconf.vote_window + 3
+    base = synth.default_corners(HW)
+    c0 = base.mean(axis=0)
+    th = np.deg2rad(2.5)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                   np.float32)
+    bumped = (c0 + (base - c0) @ rot.T
+              + np.array([34.0, -22.0], np.float32)).astype(np.float32)
+
+    states = [lab for lab, _ in synth.game_states(moves)]
+    frames = []
+    empty = np.zeros((19, 19), np.int8)
+    t = 0
+
+    def emit(lab, corners, n):
+        nonlocal t
+        for _ in range(n):
+            f, _ = synth.render_frame(lab, corners, HW, seed=17 + t)
+            frames.append(f)
+            t += 1
+
+    emit(empty, base, 6)
+    for lab in states[:3]:                 # first half: steady camera
+        emit(lab, base, fpm)
+    # The knock: next frame is at the new pose. Two batches of settle time
+    # (trip fires on the first post-bump batch; re-detection lands on the
+    # next) before play resumes — a realistic pause after a bumped table.
+    emit(states[2], bumped, 32)
+    for lab in states[3:]:                 # second half: new pose
+        emit(lab, bumped, fpm)
+    emit(states[-1], bumped, 12)           # trailing hold
+
+    controller = ControllerVSeq()
+    vm = VManagerSeq(controller, video=None, bf_class=BoardFinderAuto,
+                     sf_class=SfMeta, batch=16)
+    vm.capture = ArrayCapture(frames)
+    vm.instantiate_finders()
+    vm.run()
+    detected = controller.kifu.moves()
+    assert [(m.color, m.row, m.col) for m in detected] == \
+        [(m.color, m.row, m.col) for m in moves]
+
+
 def test_tracked_hard_palette_game():
     """Fused tracking + votes on adversarial footage (hard walnut: defocus,
     lighting gradient, shadow, stone jitter) with a drifting camera — the
@@ -330,11 +386,7 @@ def test_align_tripwire_host_plumbing():
     decays below TRACK_ALIGN_TRIP × the baseline pinned at the last
     re-anchor — and must NOT adapt that baseline downward (the EMA-adapts-
     along failure that made the sharpness gate blind to slow drift)."""
-    bf = bf_auto.BoardFinderAuto.__new__(bf_auto.BoardFinderAuto)
-    bf.metadata = {}
-    bf._align_anchor = None
-    bf._since_detect = 0
-    bf.track_seed = "seed"
+    bf = _bare_bf()
     corners = np.zeros((16, 4, 2), np.float32)
     bf.report_tracking(corners, "seed", 3.0, 0.50)      # pins the baseline
     assert bf._align_anchor == 0.50 and bf._since_detect == 0
@@ -349,17 +401,57 @@ def test_align_baseline_rises_on_cleaner_batch():
     """The baseline is a running MAX since re-anchor: a partially occluded
     FIRST batch must not pin a depressed baseline that puts the trip
     threshold out of reach of real drift (it can rise, never adapt down)."""
-    bf = bf_auto.BoardFinderAuto.__new__(bf_auto.BoardFinderAuto)
-    bf.metadata = {}
-    bf._align_anchor = None
-    bf._since_detect = 0
-    bf.track_seed = "seed"
+    bf = _bare_bf()
     corners = np.zeros((16, 4, 2), np.float32)
     bf.report_tracking(corners, "seed", 3.0, 0.30)      # occluded first batch
     bf.report_tracking(corners, "seed", 3.0, 0.60)      # clean batch: raise
     assert bf._align_anchor == 0.60
     bf.report_tracking(corners, "seed", 3.0, 0.25)      # < trip×0.60 now
     assert bf._since_detect >= 10 ** 9
+
+
+def _bare_bf():
+    bf = bf_auto.BoardFinderAuto.__new__(bf_auto.BoardFinderAuto)
+    bf.metadata = {}
+    bf._align_anchor = None
+    bf._since_detect = 0
+    bf.track_seed = "seed"
+    bf._prev_tracked_last = None
+    bf.suspect_batch = False
+    bf.gsize = 19
+
+    class _VM:
+        stones_finder = None
+    bf.vmanager = _VM()
+    return bf
+
+
+def test_jump_tripwire_on_discontinuity():
+    """A per-frame tracked-corner step beyond TRACK_JUMP_TRIP cells (a
+    camera bump) must force re-detection, drop the tracked batch, and flag
+    it suspect — even with perfect sharpness and alignment (the aliased
+    whole-cell lattice lock is sharp AND aligned; measured e2e: a 40-px
+    knock silently relocated every stone without this wire)."""
+    bf = _bare_bf()
+    base = synth.default_corners(HW)                    # cell ≈ 29 px
+    steady = np.broadcast_to(base, (16, 4, 2)).astype(np.float32)
+    bf.report_tracking(steady.copy(), "seed", 5.0, 2.0)
+    assert bf._since_detect == 0 and not bf.suspect_batch
+
+    jumped = steady.copy()
+    jumped[8:] += np.array([34.0, -22.0], np.float32)   # knock mid-batch
+    bf.report_tracking(jumped, "seed2", 5.0, 2.0)       # sharp, aligned...
+    assert bf.suspect_batch                             # ...still tripped
+    assert bf._since_detect >= 10 ** 9
+    assert bf.corners_batch is None and bf.track_seed is None
+    assert bf.metadata["track_trip"] == "jump"
+
+    # Boundary discontinuity (the knock lands exactly between batches).
+    bf = _bare_bf()
+    bf.report_tracking(steady.copy(), "seed", 5.0, 2.0)
+    bf.report_tracking(steady + np.array([30.0, 0.0], np.float32),
+                       "seed2", 5.0, 2.0)
+    assert bf.suspect_batch and bf._since_detect >= 10 ** 9
 
 
 def test_perspective_drift_tracks_or_trips(midgame_labels):
