@@ -748,15 +748,46 @@ def _lattice_evidence(E: jnp.ndarray, Hinv: jnp.ndarray,
     return val.mean(axis=(1, 2))
 
 
+def _side_insets(corners: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
+    """Inward distance from the candidate to each slab side (4,), in the
+    coordinate frame both are given in. Side order follows the slab's
+    tl→tr→br→bl corner order: top, right, bottom, left."""
+    dists = []
+    for i in range(4):
+        p0 = slab[i]
+        p1 = slab[(i + 1) % 4]
+        e = p1 - p0
+        n = jnp.stack([-e[1], e[0]])
+        n = n / jnp.maximum(jnp.linalg.norm(n), 1e-6)
+        dists.append(((corners - p0[None, :]) @ n).min())
+    return jnp.stack(dists)
+
+
 def _rank_evidence(cands: jnp.ndarray, E: jnp.ndarray, Hinv: jnp.ndarray,
                    quad: jnp.ndarray, cell, gsize: int) -> jnp.ndarray:
-    """Cross-basin candidate ranking: 2D lattice evidence plus a SOFT slab
-    prior (the true outer grid lines sit ≥ ~0.3 cell inside the slab; a
-    hard feasibility gate fails when the coarse quad itself is off and
-    nothing is 'feasible' — measured on keystoned dense boards)."""
+    """Cross-basin candidate ranking: 2D lattice evidence plus two SOFT
+    geometric priors against the lattice's periodic impostors.
+
+    - slab inset (the true outer grid lines sit ≥ ~0.3 cell inside the
+      slab; a hard feasibility gate fails when the coarse quad itself is
+      off and nothing is 'feasible' — measured on keystoned dense boards);
+    - margin symmetry, measured in the seed RECT frame (perspective-free):
+      physical gobans have near-equal margins on opposite sides, while a
+      one-cell-shifted lattice — which keeps 18/19 of its teeth on true
+      lines and parks the ghost row on the strong slab edge, so pure
+      evidence barely separates it — is asymmetric by a full cell
+      (measured: rotated boards misranked 1 cell inward without this)."""
     ev = _lattice_evidence(E, Hinv, cands, gsize)
     insets = jax.vmap(lambda c: _slab_inset(c, quad))(cands)
-    return ev + jnp.minimum(insets / cell - 0.25, 0.0)
+    rc = apply_homography(Hinv, cands)                        # (N, 4, 2)
+    rslab = apply_homography(Hinv, quad)                      # (4, 2)
+    side = jax.vmap(lambda c: _side_insets(c, rslab))(rc)     # (N, 4)
+    rcell = jnp.linalg.norm(rc[:, 1] - rc[:, 0], axis=1) / (gsize - 1.0)
+    asym = (jnp.abs(side[:, 0] - side[:, 2])
+            + jnp.abs(side[:, 1] - side[:, 3])) \
+        / jnp.maximum(rcell, 1e-3)                            # in cells
+    return ev + jnp.minimum(insets / cell - 0.25, 0.0) \
+        - 0.6 * jnp.maximum(asym - 0.4, 0.0)
 
 
 def _detect_prepare(frame: jnp.ndarray, res: int,
@@ -849,6 +880,51 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
         return corners, score
 
 
+#: Residual-rotation re-rectification threshold (radians). Below ~0.6° the
+#: comb race absorbs the tilt (≤3 px profile smear across the canvas);
+#: above ~1.5° the 1D profiles smear by a full tooth and the offset+spacing
+#: comb — which cannot express rotation — locks a whole cell off WITH a
+#: high confidence score (measured: the coarse quad under-rotates by ≈θ/6,
+#: so boards rotated ≥10° silently failed by 1+ cells).
+DEROTATE_TRIP = float(np.deg2rad(0.7))
+
+#: Minimum folded-orientation concentration (circular resultant length,
+#: 0..1) for the rotation estimate to be TRUSTED. On stone-saturated
+#: boards the gradient energy is circular stone rims, the folded
+#: distribution goes near-uniform, and the circular mean degenerates to
+#: noise pinned at the ±45° fold boundary (measured: R ≤ 0.084 at
+#: 180–250 stones reading ±44.6°, vs R ≥ 0.17 on line-dominated boards
+#: incl. rotated 120-stone midgames — derotating on the garbage reading
+#: threw detection 10 cells off). Saturated boards therefore skip
+#: de-rotation; their rotation envelope stays the comb's native <10°.
+DEROTATE_MIN_CONC = 0.12
+
+
+def _resid_rotation(rect: jnp.ndarray):
+    """In-plane rotation of the rectified lattice vs the canvas axes.
+
+    Energy-weighted circular mean of the gradient orientation folded mod
+    90° (angle-quadrupling): both line families vote at the same folded
+    angle, stone rims vote uniformly and cancel, and perspective is already
+    removed by the rectification — unlike a Hough-θ estimate on the raw
+    frame, where the receding line family fans out and drags the peak.
+    Unambiguous for |rotation| < 22.5°; accuracy ~0.1–0.3° measured.
+
+    Returns ``(angle_rad, concentration)``: the circular resultant length
+    (0 = uniform orientations = no lattice signal, the angle is noise;
+    see DEROTATE_MIN_CONC) qualifies the estimate.
+    """
+    gx = (rect[:, 2:] - rect[:, :-2])[1:-1, :]
+    gy = (rect[2:, :] - rect[:-2, :])[:, 1:-1]
+    m2 = gx * gx + gy * gy
+    w = jnp.minimum(m2, jnp.percentile(m2, 99.0))   # tame specular spikes
+    phi4 = 4.0 * jnp.arctan2(gy, gx)
+    s = (w * jnp.sin(phi4)).sum()
+    c = (w * jnp.cos(phi4)).sum()
+    conc = jnp.sqrt(s * s + c * c) / jnp.maximum(w.sum(), 1e-9)
+    return jnp.arctan2(s, c) / 4.0, conc
+
+
 def _detect_refine(gray: jnp.ndarray, quad: jnp.ndarray, score,
                    gsize: int, refine_iters: int = 1):
     """Detection stages 2–3 (gather-bound, per frame): comb refinement race
@@ -877,13 +953,49 @@ def _detect_refine(gray: jnp.ndarray, quad: jnp.ndarray, score,
       never worse than the old rule.
     """
     with jax.default_matmul_precision("float32"):
-        cell = jnp.linalg.norm(quad[1] - quad[0]) / (gsize + 0.0)
         gap_weights = (1.0, 0.0)
         # Iteration 1: ONE rectification (same seed quad → identical
         # profiles), one comb-grid pass shared by both scorings; the
         # rectified image doubles as the evidence measurement frame.
         H, colp, rowp, rect = _rect_profiles_rect(gray, quad, gsize,
                                                   margin=0.10)
+
+        # De-rotation pass: if the seed rectification left the lattice
+        # visibly rotated (the one error mode the comb race cannot model —
+        # see DEROTATE_TRIP), rotate the rect canvas frame by the measured
+        # angle THROUGH the homography (exact under perspective) and
+        # re-rectify once. lax.cond: the extra gather only runs when needed.
+        # Gain 2/3: the estimator over-reads the needed correction by a
+        # stable 1.5× (measured ratio −0.5 oscillation at gain 1 across
+        # 6–25° boards); at 2/3 one pass lands ≤0.2° residual everywhere
+        # in the ±25° working envelope (the mod-90° fold is ambiguous past
+        # ±22.5°, and a 45°-rotated lattice has no preferred orientation).
+        # The concentration gate keeps saturated boards (no orientation
+        # signal — see DEROTATE_MIN_CONC) off this path entirely.
+        raw_delta, conc = _resid_rotation(rect)
+        delta = raw_delta * (2.0 / 3.0)
+
+        def _derotate(_):
+            rres = rect.shape[0]
+            unit = jnp.array([[0.0, 0.0], [rres - 1.0, 0.0],
+                              [rres - 1.0, rres - 1.0], [0.0, rres - 1.0]],
+                             jnp.float32)
+            cc = (rres - 1.0) / 2.0
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            rotm = jnp.stack([jnp.stack([cd, -sd]), jnp.stack([sd, cd])])
+            runit = cc + (unit - cc) @ rotm.T
+            equad2 = apply_homography(H, runit)
+            ctr2 = equad2.mean(axis=0)
+            q2 = (ctr2 + (equad2 - ctr2) / 1.10).astype(jnp.float32)
+            return (q2,) + _rect_profiles_rect(gray, q2, gsize, margin=0.10)
+
+        def _keep(_):
+            return quad, H, colp, rowp, rect
+
+        quad, H, colp, rowp, rect = jax.lax.cond(
+            (jnp.abs(delta) > DEROTATE_TRIP) & (conc > DEROTATE_MIN_CONC),
+            _derotate, _keep, None)
+        cell = jnp.linalg.norm(quad[1] - quad[0]) / (gsize + 0.0)
         _, vc1, _ = _fit_combs_multi(H, colp, rowp, gsize, gap_weights)
         E = _evidence_map(rect, gsize)
         Hinv = jnp.linalg.inv(H)
@@ -1006,13 +1118,17 @@ TRACK_REF_EMA = 0.15
 TRACK_ALIGN_TRIP = 0.6
 
 #: Discontinuity trip-wire: the max credible per-frame tracked-corner step,
-#: in cells. Handheld drift/rotation measures ≤~0.1 cell/frame; a camera
-#: BUMP can land the correlation on a whole-cell-shifted lattice that is
-#: both sharp AND well-aligned (the lattice is periodic — measured: a
-#: 40 px knock read as a clean lock 1 cell off, silently relocating every
-#: stone). Any step beyond this is a discontinuity: re-detect, and tell
-#: the stones finder its evidence for the batch is suspect.
-TRACK_JUMP_TRIP = 0.25
+#: in cells. A camera BUMP can land the correlation on a whole-cell-shifted
+#: lattice that is both sharp AND well-aligned (the lattice is periodic —
+#: measured: a 40 px knock read as a clean lock 1 cell off, silently
+#: relocating every stone). Any step beyond this is a discontinuity:
+#: re-detect, and tell the stones finder its evidence for the batch is
+#: suspect. 0.5 cells = the natural alias boundary: the impostor locks are
+#: whole-cell (≥1.0) while per-frame tracker noise on the worst measured
+#: footage (the gauntlet: walnut + grain + flicker + encode artifacts)
+#: reaches 0.26 cells — clean handheld motion is ≤~0.1. (0.25 false-
+#: tripped the gauntlet mid-game.)
+TRACK_JUMP_TRIP = 0.5
 
 
 def _profile_shift(profile: jnp.ndarray, delta) -> jnp.ndarray:
@@ -1747,6 +1863,13 @@ class BoardFinderAuto(BoardFinder):
             self.corners_batch = None
             self._align_anchor = None
             self._prev_tracked_last = None
+            # The pose history is the thing the trip disproved: the next
+            # detection must re-anchor FRESH, not EMA-blend into the
+            # pre-bump estimate (measured: a 1-cell knock below _detect's
+            # hard-reset threshold crawled at 0.8^k toward the new pose,
+            # re-seeding every re-anchor ~0.5 cell stale and pinning the
+            # tracker at sharpness ~1.6 for the rest of the game).
+            self._estimate = None
             self.suspect_batch = True
             self.metadata["track_trip"] = "jump"
             sf = getattr(self.vmanager, "stones_finder", None)
@@ -1764,12 +1887,14 @@ class BoardFinderAuto(BoardFinder):
             elif (self._align_anchor > 0.02
                   and mean_align < TRACK_ALIGN_TRIP * self._align_anchor):
                 self._since_detect = 10 ** 9      # force re-detect next batch
+                self._estimate = None     # re-anchor fresh (see jump trip)
         if mean_sharp < TRACK_MIN_SHARPNESS:
             self._since_detect = 10 ** 9
             self.track_seed = None
             self.corners_batch = None
             self._align_anchor = None
             self._prev_tracked_last = None
+            self._estimate = None         # re-anchor fresh (see jump trip)
 
     def _detect(self, frames) -> bool:
         import jax.numpy as jnp
@@ -1790,8 +1915,13 @@ class BoardFinderAuto(BoardFinder):
             jump = np.abs(det - self._estimate).max()
             cell = np.linalg.norm(self._estimate[1] - self._estimate[0]) \
                 / (self.gsize - 1)
-            if jump > 3 * cell:
+            if jump > 1.0 * cell:
                 # Camera bump: restart accumulation from the new detection.
+                # Detection corner noise measures ≤0.3 cell — a detection a
+                # full cell away from the estimate is a moved camera, and
+                # EMA-blending it would publish a pose between the two
+                # (measured: a 1.05-cell knock crawled at 0.8^k for 5+
+                # batches, each published pose wrong by ~0.5 cell).
                 self._estimate = det
             else:
                 self._estimate = 0.8 * self._estimate + 0.2 * det

@@ -197,3 +197,23 @@ def test_detect_batch_batched_stage1_matches_per_frame():
         c1, s1 = bf_auto.detect_corners(fb[i])
         assert np.abs(np.asarray(c1) - np.asarray(corners_b[i])).max() < 0.1
         assert abs(float(s1) - float(scores_b[i])) < 1e-3
+
+
+@pytest.mark.parametrize("deg", [10, 18, 25, -15])
+def test_detect_corners_rotated_board(deg):
+    """In-plane rotation envelope (r3 gauntlet finding): the offset+spacing
+    comb cannot express rotation, and before the de-rotation pass +
+    margin-symmetry prior, boards rotated ≥10° silently locked a whole cell
+    off WITH a high confidence score. The envelope is ±25° (past ±22.5°
+    the mod-90° orientation fold is inherently ambiguous)."""
+    base = synth.default_corners((720, 1280))
+    ctr = base.mean(axis=0)
+    th = np.deg2rad(deg)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                   np.float32)
+    corners = (ctr + (base - ctr) @ rot.T).astype(np.float32)
+    frame, _ = synth.render_frame(board(60, 3), corners=corners,
+                                  frame_hw=(720, 1280), seed=5)
+    det, score = bf_auto.detect_corners(jnp.asarray(frame))
+    assert float(score) > 0.1
+    assert np.abs(np.asarray(det) - corners).max() < TOL_PX
