@@ -171,6 +171,36 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
                        "fps": n_frames / dt if dt > 0 else 0.0}
 
 
+def run_runtime(frames, batch: int = 16, gsize: int = guiconf.gsize):
+    """Drive the FULL vision runtime — VManagerSeq hosting BoardFinderAuto
+    (per-frame 4-DoF corner tracking, trip-wires, forced re-detection) and
+    SfMeta (temporal votes, pending-capture filter, bulk self-correction) —
+    over in-memory frames; return (detected_moves, stats).
+
+    This is the moving-camera path that the fixed-corner jitted pipeline
+    (run_pipeline) cannot represent: corners are re-measured every frame
+    and the finder hosts react to trips. ckfilecheck routes the 'gauntlet'
+    scenario through it.
+    """
+    from camkifu_tpu.board.bf_auto import BoardFinderAuto
+    from camkifu_tpu.core.capture import ArrayCapture
+    from camkifu_tpu.core.controllerv import ControllerVSeq
+    from camkifu_tpu.core.vmanager import VManagerSeq
+    from camkifu_tpu.stone.sf_meta import SfMeta
+
+    controller = ControllerVSeq()
+    vm = VManagerSeq(controller, video=None, bf_class=BoardFinderAuto,
+                     sf_class=SfMeta, batch=batch)
+    vm.capture = ArrayCapture(frames)
+    vm.instantiate_finders()
+    t0 = time.perf_counter()
+    vm.run()
+    dt = time.perf_counter() - t0
+    n = len(frames)
+    return controller.kifu.moves(), {
+        "frames": n, "seconds": dt, "fps": n / dt if dt > 0 else 0.0}
+
+
 def check(video_spec: str, ref_sgf: str | None, corners=None,
           batch: int = cvconf.frame_batch, use_meta: bool = True,
           use_neural: bool = True, oracle: str = "tpu",
@@ -185,7 +215,8 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
     from camkifu_tpu.utils import synth
 
     if video_spec.startswith("synth:"):
-        # synth:N[:seed][:hard|real][:flicker][:caps][:palette] — rendered game with known
+        # synth:N[:seed][:hard|real|gauntlet][:flicker][:caps][:palette] —
+        # rendered game with known
         # ground truth; 'hard' adds stone jitter, a 30% lighting gradient,
         # defocus blur, and a soft shadow (the adversarial eval for the
         # ≥99% target); 'real' adds, on top of hard, procedural wood-grain
@@ -196,6 +227,34 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
         parts = video_spec.split(":")
         n_moves = int(parts[1])
         rest = parts[2:]
+        if "gauntlet" in rest:
+            # THE GAUNTLET (synth.gauntlet_scenario / tests/test_gauntlet.py):
+            # every adversity at once — capture-rich game with lingering
+            # dead stones, handheld drift + rotation + zoom, a mid-game
+            # camera bump, exposure flicker, the full realism pass, and an
+            # mp4 round-trip. Runs through the FULL runtime (run_runtime):
+            # board corners are tracked per frame, so fixed-corner modes
+            # (--corners, --oracle cv2, --no-meta) do not apply.
+            extra = [p for p in rest if p != "gauntlet" and not p.isdigit()]
+            if extra or oracle != "tpu" or corners is not None \
+                    or not use_meta:
+                raise ValueError(
+                    "the gauntlet scenario is auto-detected, tracked and "
+                    "meta-voted by construction: no extra tokens, "
+                    "--corners, --no-meta, or --oracle cv2/both "
+                    f"(got tokens {extra!r}, oracle={oracle!r})")
+            g_seed = next((int(p) for p in rest if p.isdigit()), 11)
+            moves, frames_factory = synth.gauntlet_scenario(
+                n_moves, seed=g_seed)
+            checker = KifuChecker(moves)
+            # The scenario's pacing (pause lengths, bump timing, vote
+            # windows) is authored against the 16-frame re-anchor cadence
+            # the e2e test locks — batch is fixed, not the --batch flag.
+            detected, stats = run_runtime(list(frames_factory()), batch=16)
+            report = checker.report(detected)
+            report.update(stats)
+            report["diff"] = checker.diff_lines(detected)[:20]
+            return report
         seed = next((int(p) for p in rest if p.isdigit()), 7)
         real = "real" in rest
         hard = "hard" in rest or real
@@ -291,7 +350,11 @@ def main(argv=None) -> int:
     jaxcache.enable()
     ap = argparse.ArgumentParser(
         description="Score the vision pipeline against a reference SGF.")
-    ap.add_argument("video", help="video file, or synth:N[:seed]")
+    ap.add_argument("video",
+                    help="video file, or synth:N[:seed][:hard|real|"
+                         "gauntlet][:flicker][:caps][:palette] — "
+                         "'gauntlet' runs the everything-at-once moving-"
+                         "camera scenario through the full runtime")
     ap.add_argument("sgf", nargs="?", default=None,
                     help="reference SGF ('auto' with synth: to force "
                          "auto board detection)")

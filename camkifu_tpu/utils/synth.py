@@ -343,17 +343,26 @@ def game_states(moves: list[Move], gsize: int = guiconf.gsize):
         yield rule.as_labels(), move
 
 
-def render_game(moves: list[Move], frames_per_move: int = 3,
+def render_game(moves: list[Move], frames_per_move=3,
                 corners: np.ndarray | None = None,
                 frame_hw: tuple[int, int] = (720, 1280),
                 gsize: int = guiconf.gsize, seed: int = 0,
                 empty_leadin: int = 2, hand_frames: int = 0,
                 flicker: float = 0.0, removal_lag: int = 0,
-                **frame_kwargs):
+                corners_fn=None, **frame_kwargs):
     """Yield (frame, state_labels) for a whole game: ``empty_leadin`` frames of
     the empty board, then ``frames_per_move`` frames after each move. Extra
     kwargs (stone_jitter, light_gradient, blur_sigma, shadow, wood_texture,
     vignette, …) pass through to render_frame.
+
+    frames_per_move may be a sequence with one entry per move — e.g. to
+    model the players pausing mid-game (a knocked camera's settle time, a
+    long think) by holding one position longer.
+
+    corners_fn, if given, is called with the global frame index and must
+    return that frame's (4, 2) board corners — a MOVING camera (handheld
+    drift/rotation, or a discontinuous bump). It overrides ``corners``;
+    the hand animation follows the moving pose.
 
     hand_frames > 0 animates a hand RETREATING from each just-played stone
     over that many frames (a real recording's moving occluder): frame 0
@@ -380,7 +389,17 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
     zone = 24
     lo, hi = zone / 2.0, gsize * zone - zone / 2.0
     src = np.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi]], np.float32)
-    M = cv2.getPerspectiveTransform(src, np.asarray(corners, np.float32))
+    fpm = (list(frames_per_move) if not isinstance(frames_per_move, int)
+           else [frames_per_move] * len(moves))
+    if len(fpm) != len(moves):
+        raise ValueError(f"frames_per_move sequence has {len(fpm)} entries "
+                         f"for {len(moves)} moves")
+
+    def corners_at(idx):
+        if corners_fn is None:
+            return corners
+        return np.asarray(corners_fn(idx), np.float32)
+
     rng_f = np.random.default_rng(seed + 940229)
     gain = 1.0
 
@@ -394,8 +413,10 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
         return np.clip(frame.astype(np.float32) * gain, 0, 255) \
             .astype(np.uint8)
 
-    def to_frame_xy(row, col):
-        p = M @ np.array([(col + 0.5) * zone, (row + 0.5) * zone, 1.0])
+    def to_frame_xy(row, col, idx):
+        Mi = cv2.getPerspectiveTransform(
+            src, np.asarray(corners_at(idx), np.float32))
+        p = Mi @ np.array([(col + 0.5) * zone, (row + 0.5) * zone, 1.0])
         return p[0] / p[2], p[1] / p[2]
 
     #: (row, col) → [color_int, frames_left] of captured-but-not-yet-removed
@@ -405,11 +426,11 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
 
     i = 0
     for _ in range(empty_leadin):
-        frame, _ = render_frame(empty, corners, frame_hw, seed=seed + i,
+        frame, _ = render_frame(empty, corners_at(i), frame_hw, seed=seed + i,
                                 jitter_seed=seed, **frame_kwargs)
         i += 1
         yield expose(frame, False), empty
-    for state, move in game_states(moves, gsize):
+    for mi, (state, move) in enumerate(game_states(moves, gsize)):
         if removal_lag and (move.row, move.col) in linger:
             # The next move lands on a point whose captured stone is still
             # physically there — impossible: the player sweeps the dead
@@ -417,8 +438,8 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
             # pre-move position (all lingering captures gone) so readings
             # see the vacated points empty before the stone arrives.
             linger.clear()
-            for _ in range(frames_per_move):
-                frame, _ = render_frame(prev_state, corners, frame_hw,
+            for _ in range(fpm[mi]):
+                frame, _ = render_frame(prev_state, corners_at(i), frame_hw,
                                         seed=seed + i, jitter_seed=seed,
                                         **frame_kwargs)
                 i += 1
@@ -429,10 +450,10 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
                 linger[(int(r), int(c))] = [int(prev_state[r, c]),
                                             removal_lag]
         prev_state = state
-        for j in range(frames_per_move):
+        for j in range(fpm[mi]):
             hand = None
             if hand_frames and j < hand_frames:
-                x, y = to_frame_xy(move.row, move.col)
+                x, y = to_frame_xy(move.row, move.col, i)
                 hand = (x, y, 1.0 - j / float(hand_frames))
             shown = state
             if linger:
@@ -452,13 +473,13 @@ def render_game(moves: list[Move], frames_per_move: int = 3,
                     # lifting out (reach grows as frames_left shrinks).
                     rr = float(np.mean([r for r, _, _ in removing]))
                     cc = float(np.mean([c for _, c, _ in removing]))
-                    x, y = to_frame_xy(rr, cc)
+                    x, y = to_frame_xy(rr, cc, i)
                     hand = (x, y,
                             1.0 - min(l for _, _, l in removing)
                             / float(hand_frames))
-            frame, _ = render_frame(shown, corners, frame_hw, seed=seed + i,
-                                    jitter_seed=seed, hand=hand,
-                                    **frame_kwargs)
+            frame, _ = render_frame(shown, corners_at(i), frame_hw,
+                                    seed=seed + i, jitter_seed=seed,
+                                    hand=hand, **frame_kwargs)
             i += 1
             yield expose(frame, hand is not None), shown
 
@@ -513,6 +534,67 @@ def capture_rich_moves(n: int = 24, gsize: int = guiconf.gsize,
         moves.append(m)
         color = W if color == B else B
     return moves
+
+
+def gauntlet_scenario(n_moves: int = 19, seed: int = 11,
+                      frame_hw: tuple[int, int] = (720, 1280),
+                      gsize: int = guiconf.gsize):
+    """THE GAUNTLET — every adversity at once, one game (see
+    tests/test_gauntlet.py for the full rationale). Returns
+    ``(moves, frames_factory)``: the ground-truth kifu and a zero-arg
+    callable yielding the footage. The scenario stacks a capture-rich game
+    with 60-frame physical removal lag, a handheld drifting + slowly
+    rotating + slowly zooming camera, a mid-game camera BUMP landing while
+    captured stones are still pending removal, auto-exposure flicker, the
+    full realism pass (grain, vignette, defocus, gradient, shadow, jitter,
+    animated hand, walnut palette), and an mp4 encode round-trip.
+
+    Reference parity: the reference was exercised on real recorded games
+    where all of these co-occur (SURVEY §0.6, §4) — this is the closest
+    synthetic equivalent; the bar is exact move-for-move agreement.
+    """
+    from camkifu_tpu.config import cvconf
+
+    moves = capture_rich_moves(max(n_moves, 19), gsize=gsize, seed=seed)
+    fpm = cvconf.vote_window + 3
+    fpm_list = [fpm] * len(moves)
+    fpm_list[13] += 36       # the players pause after the table is knocked
+    fpm_list[-1] += 12       # trailing hold so the last move's votes commit
+    leadin = 6
+    # The knock lands mid-pause, while the two-stone capture's dead stones
+    # are STILL physically on the board (lag 60 frames spans moves 10→16).
+    bump_at = leadin + sum(fpm_list[:13]) + fpm
+
+    base = default_corners(frame_hw)
+    c0 = base.mean(axis=0)
+
+    def cam(i):
+        # Handheld: drift ≤0.7 px/frame, rotation 0.04°/frame, zoom
+        # 0.02%/frame — all an order of magnitude under the jump trip.
+        th = np.deg2rad(0.04 * i)
+        s = 1.0 + 2e-4 * i
+        if i >= bump_at:                   # the knock: +2° and ~31 px, once
+            th += np.deg2rad(2.0)
+        rot = np.array([[np.cos(th), -np.sin(th)],
+                        [np.sin(th), np.cos(th)]], np.float32)
+        cs = c0 + s * (base - c0) @ rot.T
+        cs += np.array([6.0 * np.sin(i / 9.0), 5.0 * np.cos(i / 11.0)],
+                       np.float32)
+        if i >= bump_at:
+            cs += np.array([26.0, -17.0], np.float32)
+        return cs.astype(np.float32)
+
+    def frames_factory():
+        it = (f for f, _ in render_game(
+            moves, frames_per_move=fpm_list, frame_hw=frame_hw, seed=seed,
+            empty_leadin=leadin, corners_fn=cam, gsize=gsize,
+            hand_frames=2, flicker=0.12, removal_lag=60,
+            stone_jitter=0.07, light_gradient=0.3, blur_sigma=1.2,
+            shadow=0.18, wood_texture=0.10, vignette=0.22,
+            palette="walnut"))
+        return iter(encode_roundtrip(it))
+
+    return moves, frames_factory
 
 
 def sample_moves(n: int = 40, gsize: int = guiconf.gsize, seed: int = 7
