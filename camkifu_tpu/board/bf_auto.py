@@ -896,7 +896,11 @@ DEROTATE_TRIP = float(np.deg2rad(0.7))
 #: 180–250 stones reading ±44.6°, vs R ≥ 0.17 on line-dominated boards
 #: incl. rotated 120-stone midgames — derotating on the garbage reading
 #: threw detection 10 cells off). Saturated boards therefore skip
-#: de-rotation; their rotation envelope stays the comb's native <10°.
+#: de-rotation; their rotation envelope stays the comb's native <10°
+#: (measured: ≤0.5 cell at 6°, ~1 cell at 10°, 3–8 cells at ≥14° — PERF.md
+#: pose-veto section). Beyond the envelope the defense is systems-level:
+#: SfMeta._pose_vetoed rejects any fresh anchor whose readings contradict
+#: the committed game (reject_anchor below).
 DEROTATE_MIN_CONC = 0.12
 
 
@@ -1771,12 +1775,18 @@ class BoardFinderAuto(BoardFinder):
         #: True while this batch's tracking hit a discontinuity (jump trip):
         #: stones finders must not trust readings made with these corners.
         self.suspect_batch = False
+        #: True while this batch adopted a fresh full detection (first
+        #: anchor, bf_period re-anchor, or post-trip recovery). Stones
+        #: finders that know the committed game cross-check the new pose
+        #: against it (SfMeta pose veto) and may reject_anchor().
+        self.fresh_anchor = False
 
     def _doframe(self, frames, n: int | None = None) -> None:
         import jax.numpy as jnp
 
         self.suspect_batch = False
         super()._doframe(frames, n)        # periodic _detect + publish
+        self.fresh_anchor = self._since_detect == 0
         if not self.ready():
             self.corners_batch = None
             self.track_seed = None
@@ -1895,6 +1905,32 @@ class BoardFinderAuto(BoardFinder):
             self._align_anchor = None
             self._prev_tracked_last = None
             self._estimate = None         # re-anchor fresh (see jump trip)
+
+    def reject_anchor(self) -> None:
+        """A stones finder vetoed the freshly adopted pose (its readings
+        wholesale contradict the committed game — SfMeta pose veto): the
+        detection was confidently wrong, which full detection CAN be on
+        stone-saturated boards rotated ≥~14° in-plane (measured: 3–8 cells
+        off at score 0.27–0.35; the 1D combs cannot represent that basin
+        and the 2D evidence prior picks a shrunk impostor). Drop the pose
+        and every derived state; detection re-runs each batch until a pose
+        consistent with the game appears. The alternative — accepting the
+        pose — lets bulk self-correction rewrite the entire kifu onto the
+        impostor lattice (the pre-trip-wire bump disaster, resurrected
+        through the recovery path itself)."""
+        self._since_detect = 10 ** 9
+        self.track_seed = None
+        self.corners_batch = None
+        self._align_anchor = None
+        self._prev_tracked_last = None
+        self._estimate = None             # the pose history is disproved
+        self.fresh_anchor = False
+        self.suspect_batch = True
+        # Unpublish: a vetoed pose must not serve the classic fixed-corner
+        # path (or the GUI overlay) while re-anchoring.
+        self.corners.clear()
+        self.mtx = None
+        self.metadata["track_trip"] = "pose_veto"
 
     def _detect(self, frames) -> bool:
         import jax.numpy as jnp

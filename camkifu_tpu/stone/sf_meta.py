@@ -40,6 +40,14 @@ TRUST_PROMOTE = 0.9
 #: Background downsample factor (canonical → bg grid).
 BG_FACTOR = 4
 
+#: Pose veto (SfMeta._pose_vetoed): minimum committed stones for the check
+#: to be meaningful, and the minimum fraction of them a freshly anchored
+#: pose's readings must reproduce. A correct anchor reads ≥~0.9 of the
+#: committed stones even under capture lag / a hand in frame; a pose cells
+#: off reads them scrambled (~⅓ chance agreement per point).
+POSE_VETO_MIN_STONES = 15
+POSE_VETO_MIN_AGREE = 0.6
+
 
 class MetaState(NamedTuple):
     """Scan carry. All arrays fixed-shape; host code may reset slices."""
@@ -322,8 +330,50 @@ class SfMeta(_SF):
             # reset the scan state) — never diff them into moves.
             self.metadata["status"] = "re-anchoring"
             return
+        if getattr(bf, "fresh_anchor", False) \
+                and self._pose_vetoed(labels, bf):
+            return
         self._report(agitation)
         self._consume(labels, n)
+
+    def _pose_vetoed(self, labels, bf) -> bool:
+        """Cross-check a freshly anchored pose against the committed game.
+
+        Full detection can be confidently WRONG — measured: stone-saturated
+        boards rotated ≥~14° in-plane detect 3–8 cells off at score
+        0.27–0.35 (the 1D combs cannot express that basin). A pose that is
+        cells off reads the committed stones scrambled, and within a vote
+        window the bulk self-correction machinery would rewrite the entire
+        kifu onto the impostor lattice. The committed game is the one
+        ground truth that survives any camera event: if this batch's
+        readings disagree with ≥(1−POSE_VETO_MIN_AGREE) of the committed
+        stones, reject the pose (bf.reject_anchor — detection then re-runs
+        every batch until a consistent pose appears) and discard the
+        poisoned vote state. Below POSE_VETO_MIN_STONES committed stones
+        the check is off: sparse boards are the line-dominated regime where
+        detection is reliable (±25° envelope), and a handful of points
+        cannot distinguish pose error from capture lag or an occluding
+        hand.
+        """
+        import numpy as _np
+
+        committed = self.controller.stones() if self.controller is not None \
+            else self.extractor.state()
+        nz = committed != 0
+        if int(nz.sum()) < POSE_VETO_MIN_STONES:
+            return False
+        lab = _np.asarray(labels)                       # (B, g, g)
+        agree = float((lab[:, nz] == committed[nz]).mean())
+        self.metadata["pose_agreement"] = round(agree, 3)
+        if agree >= POSE_VETO_MIN_AGREE:
+            return False
+        bf.reject_anchor()
+        # The batch already folded into the scan state before the veto
+        # could fire — re-seed perception from the committed game, as with
+        # any discontinuity.
+        self.state = set_stable(self.state, committed)
+        self.metadata["status"] = "re-anchoring"
+        return True
 
     @staticmethod
     def _valid_arg(frames, n):
