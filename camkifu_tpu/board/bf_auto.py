@@ -727,15 +727,31 @@ def _lattice_evidence(E: jnp.ndarray, Hinv: jnp.ndarray,
 
     cands: (N, 4, 2) corner quads in frame px; Hinv maps frame → seed rect.
     """
-    res = E.shape[0]
     rc = apply_homography(Hinv, cands)                       # (N, 4, 2)
+    return _lattice_evidence_rc(E, rc, gsize)
+
+
+def _lattice_evidence_rc(E: jnp.ndarray, rc: jnp.ndarray,
+                         gsize: int) -> jnp.ndarray:
+    """_lattice_evidence for quads already in seed-rect coords (N, 4, 2).
+
+    Interior points are PROJECTIVE (per-candidate DLT from the unit square),
+    not bilinear: at strong keystone the true lattice's interior deviates
+    from bilinear interpolation of its own corners, so under a bilinear
+    model displaced corners scored BETTER than truth (measured at 220
+    stones / perspective 0.30: evidence 0.46 at 23 px off vs 0.37 at truth,
+    and evidence-ascent from truth drifted 13 px). The projective model
+    puts the corner-space optimum back on the true corners.
+    """
+    res = E.shape[0]
+    unit = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]],
+                     jnp.float32)
     iu = jnp.arange(gsize, dtype=jnp.float32) / (gsize - 1.0)
-    u = iu[None, None, :, None]                              # along x
-    v = iu[None, :, None, None]                              # along y
-    tl, tr = rc[:, 0, None, None], rc[:, 1, None, None]
-    br, bl = rc[:, 2, None, None], rc[:, 3, None, None]
-    P = (tl * (1 - u) * (1 - v) + tr * u * (1 - v)
-         + br * u * v + bl * (1 - u) * v)                    # (N, G, G, 2)
+    gu, gv = jnp.meshgrid(iu, iu, indexing="xy")
+    grid = jnp.stack([gu, gv], axis=-1).reshape(-1, 2)       # (G², 2)
+    P = jax.vmap(
+        lambda c: apply_homography(homography_dlt(unit, c), grid))(rc)
+    P = P.reshape(rc.shape[0], gsize, gsize, 2)              # (N, G, G, 2)
     px = jnp.clip(P[..., 0], 0.0, res - 1.001)
     py = jnp.clip(P[..., 1], 0.0, res - 1.001)
     x0 = jnp.floor(px).astype(jnp.int32)
@@ -745,7 +761,42 @@ def _lattice_evidence(E: jnp.ndarray, Hinv: jnp.ndarray,
            + E[y0, x0 + 1] * fx * (1 - fy)
            + E[y0 + 1, x0] * (1 - fx) * fy
            + E[y0 + 1, x0 + 1] * fx * fy)
-    return val.mean(axis=(1, 2))
+    ev = val.mean(axis=(1, 2))
+    # A degenerate perturbed quad makes its DLT singular — score it out
+    # rather than letting a NaN win an argmax.
+    return jnp.where(jnp.isfinite(ev), ev, -1.0)
+
+
+def _evidence_polish(E: jnp.ndarray, H: jnp.ndarray, Hinv: jnp.ndarray,
+                     w: jnp.ndarray, gsize: int,
+                     spans=(0.45, 0.30, 0.15, 0.06), k: int = 5):
+    """Corner-wise coordinate descent directly on the 2D evidence map.
+
+    The saturated-branch candidate pool is comb-generated, i.e. every
+    candidate is an even (offset, spacing) lattice in its rect frame — but
+    at strong perspective the coarse seed leaves a residual keystone the
+    comb family cannot express, so the pool's best member is itself ~1 cell
+    off (PERF.md: 39 px at 220 stones / perspective 0.30, candidate-set-
+    limited). This polish escapes the comb family: each corner moves
+    independently over a shrinking k×k search grid (coarse-to-fine spans,
+    in cells of the seed rect), scored by the same joint lattice evidence
+    used for ranking. Single-corner steps cannot reach the one-cell-shifted
+    lattice impostor (that needs all four corners to move together), and
+    the result re-enters the pool under the full prior-carrying
+    _rank_evidence, so a polish that wandered is discarded, not trusted.
+    """
+    rc = apply_homography(Hinv, w)                          # (4, 2) rect px
+    cell = jnp.linalg.norm(rc[1] - rc[0]) / (gsize - 1.0)
+    for span in spans:
+        offs = jnp.linspace(-span, span, k).astype(jnp.float32) * cell
+        dxy = jnp.stack(jnp.meshgrid(offs, offs, indexing="ij"),
+                        axis=-1).reshape(-1, 2)             # (k*k, 2)
+        for i in range(4):
+            cands = jnp.broadcast_to(rc, (k * k, 4, 2))
+            cands = cands.at[:, i].add(dxy)
+            ev = _lattice_evidence_rc(E, cands, gsize)
+            rc = cands[jnp.argmax(ev)]
+    return apply_homography(H, rc)
 
 
 def _side_insets(corners: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
@@ -1023,6 +1074,14 @@ def _detect_refine(gray: jnp.ndarray, quad: jnp.ndarray, score,
             cands = jnp.concatenate([cands, pins])
             ranks = jnp.concatenate(
                 [ranks, _rank_evidence(pins, E, Hinv, quad, cell, gsize)])
+            # Escape the comb family entirely: evidence-ascent polish of
+            # the running winner (the residual keystone no comb candidate
+            # can express — see _evidence_polish), re-ranked with the rest.
+            w3 = cands[jnp.argmax(ranks)]
+            pol = _evidence_polish(E, H, Hinv, w3, gsize)[None]
+            cands = jnp.concatenate([cands, pol])
+            ranks = jnp.concatenate(
+                [ranks, _rank_evidence(pol, E, Hinv, quad, cell, gsize)])
             return cands[jnp.argmax(ranks)]
 
         corners = jax.lax.cond(score > 0.55, line_dominated,
