@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from camkifu_tpu.config import cvconf, guiconf
+from camkifu_tpu.ops.lens import Lens, distort_pts, undistort_pts
 
 
 def canonical_corners(gsize: int = guiconf.gsize,
@@ -170,36 +171,47 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 def warp_to_canonical(frame: jnp.ndarray, corners: jnp.ndarray,
                       gsize: int = guiconf.gsize,
-                      zone: int = cvconf.zone_size) -> jnp.ndarray:
+                      zone: int = cvconf.zone_size,
+                      lens: Lens | None = None) -> jnp.ndarray:
     """Rectify one frame (H, W, C) to the canonical (gsize*zone)² board image.
 
     ``corners``: (4, 2) image (x, y) of the goban's corner intersections,
     ordered tl/tr/br/bl. Inverse warp: for each canonical pixel, map through
     the canonical→image homography and bilinear-sample the source frame —
     the gather-friendly direction (no scatter).
+
+    ``lens``: optional radial model (ops/lens.py). Corners stay RAW frame
+    coordinates; the homography is built against their pinhole positions
+    and the sample grid is distorted back before the gather — same gather,
+    lens-corrected geometry, zero extra HBM traffic.
     """
     size = gsize * zone
-    H = homography_dlt(canonical_corners(gsize, zone), corners.astype(jnp.float32))
+    pin = undistort_pts(lens, corners.astype(jnp.float32))
+    H = homography_dlt(canonical_corners(gsize, zone), pin)
     # Every canonical pixel center (cv2 convention: index == coordinate).
     us = jnp.arange(size, dtype=jnp.float32)
     uu, vv = jnp.meshgrid(us, us, indexing="xy")        # (size, size)
     src = apply_homography(H, jnp.stack([uu, vv], axis=-1))
+    src = distort_pts(lens, src)
     return bilinear_sample(frame, src[..., 0], src[..., 1])
 
 
 def warp_batch(frames: jnp.ndarray, corners: jnp.ndarray,
                gsize: int = guiconf.gsize,
-               zone: int = cvconf.zone_size) -> jnp.ndarray:
+               zone: int = cvconf.zone_size,
+               lens: Lens | None = None) -> jnp.ndarray:
     """(B, H, W, C) frames + (B, 4, 2) per-frame corners → (B, S, S, C)."""
-    return jax.vmap(lambda f, c: warp_to_canonical(f, c, gsize, zone))(
+    return jax.vmap(lambda f, c: warp_to_canonical(f, c, gsize, zone, lens))(
         frames, corners)
 
 
 def warp_batch_fixed(frames: jnp.ndarray, corners: jnp.ndarray,
                      gsize: int = guiconf.gsize,
-                     zone: int = cvconf.zone_size) -> jnp.ndarray:
+                     zone: int = cvconf.zone_size,
+                     lens: Lens | None = None) -> jnp.ndarray:
     """(B, H, W, C) frames + one fixed (4, 2) corner set → (B, S, S, C)."""
-    return jax.vmap(lambda f: warp_to_canonical(f, corners, gsize, zone))(frames)
+    return jax.vmap(
+        lambda f: warp_to_canonical(f, corners, gsize, zone, lens))(frames)
 
 
 def _subpixel_shift(img: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
@@ -228,7 +240,8 @@ def _subpixel_shift(img: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
 def warp_batch_chunked(frames: jnp.ndarray, corners: jnp.ndarray,
                        gsize: int = guiconf.gsize,
                        zone: int = cvconf.zone_size,
-                       chunk: int = 8) -> jnp.ndarray:
+                       chunk: int = 8,
+                       lens: Lens | None = None) -> jnp.ndarray:
     """Per-frame corners, TPU-fast: share the (median) corners within small
     frame chunks so the gather keeps batch-shared indices, then correct each
     frame's residual camera motion with a subpixel *translation*.
@@ -254,12 +267,16 @@ def warp_batch_chunked(frames: jnp.ndarray, corners: jnp.ndarray,
 
     def body(_, x):
         fr, true_corners, co = x
-        canon = jax.vmap(lambda z: warp_to_canonical(z, co, gsize, zone))(fr)
+        canon = jax.vmap(
+            lambda z: warp_to_canonical(z, co, gsize, zone, lens))(fr)
         # Where each frame's true corners land in the chunk's canonical
         # view; their mean displacement from the ideal anchors is the
-        # residual camera translation.
-        h_inv = _inv3(homography_dlt(ideal, co))
-        landed = jax.vmap(lambda c: apply_homography(h_inv, c))(true_corners)
+        # residual camera translation. Both corner sets are raw frame
+        # coords — undistort before applying the pinhole homography.
+        h_inv = _inv3(homography_dlt(ideal, undistort_pts(lens, co)))
+        landed = jax.vmap(
+            lambda c: apply_homography(h_inv, undistort_pts(lens, c)))(
+                true_corners)
         offsets = (landed - ideal[None]).mean(axis=1)    # (chunk, 2) = (dx,dy)
         canon = jax.vmap(_subpixel_shift)(canon, offsets)
         return None, canon

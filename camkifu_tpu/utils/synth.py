@@ -141,7 +141,8 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                  vignette: float = 0.0,
                  motion_blur: tuple[float, float] | None = None,
                  hand: tuple[float, float, float] | None = None,
-                 palette: str = "kaya") -> tuple[np.ndarray, np.ndarray]:
+                 palette: str = "kaya",
+                 lens_k1: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Render a camera frame of the given board state.
 
     light_gradient: relative brightness falloff corner-to-corner (0.3 =
@@ -155,6 +156,11 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
     hand: (x, y, reach) — a hand + forearm over the board, fingertip at
     frame position (x, y); reach ∈ [0, 1] fades it in/out so render_game
     can animate a move being placed.
+    lens_k1: radial lens distortion coefficient (r normalized to half the
+    short frame side; >0 = barrel — straight board lines bow outward —
+    <0 = pincushion; cheap webcams sit around |k1| ≈ 0.03–0.08 at this
+    normalization). The returned ground-truth corners are distorted
+    through the same model.
     Returns (frame uint8 RGB (H, W, 3), corners (4, 2) float32 (x, y)).
     """
     import cv2
@@ -196,6 +202,28 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                         0, 255).astype(np.uint8)
     if hand is not None and hand[2] > 0.0:
         frame = _draw_hand(frame, hand, rng)
+    if lens_k1:
+        # Radial distortion of the composed scene (optics happen before
+        # the sensor): output pixel p_d samples the pinhole scene at the
+        # inverse of p_d = c + (p_u − c)(1 + k1·r_u²), r normalized to
+        # half the short side. The inverse radius comes from 4 fixed-point
+        # iterations (exact to <1e-3 px for |k1| ≤ 0.2).
+        s = min(h, w) / 2.0
+        ccx, ccy = w / 2.0, h / 2.0
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        rd = np.sqrt((xx - ccx) ** 2 + (yy - ccy) ** 2) / s
+        ru = rd.copy()
+        for _ in range(4):
+            ru = rd / (1.0 + lens_k1 * ru * ru)
+        scale = np.where(rd > 1e-9, ru / np.maximum(rd, 1e-9), 1.0)
+        map_x = (ccx + (xx - ccx) * scale).astype(np.float32)
+        map_y = (ccy + (yy - ccy) * scale).astype(np.float32)
+        frame = cv2.remap(frame, map_x, map_y, cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_REPLICATE)
+        pc = corners - np.array([ccx, ccy], np.float32)
+        r_u = np.linalg.norm(pc, axis=1, keepdims=True) / s
+        corners = (np.array([ccx, ccy], np.float32)
+                   + pc * (1.0 + lens_k1 * r_u ** 2)).astype(np.float32)
     if motion_blur is not None:
         dx, dy = float(motion_blur[0]), float(motion_blur[1])
         n_k = max(3, int(np.hypot(dx, dy)) | 1)
