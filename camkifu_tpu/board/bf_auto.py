@@ -37,6 +37,8 @@ from camkifu_tpu.ops.color import rgb_to_gray, rgb_to_gray_u8, to_float
 from camkifu_tpu.ops.edges import edge_map, edge_map_batch
 from camkifu_tpu.ops.filters import sobel
 from camkifu_tpu.ops.hough import hough_accumulate, topk_edge_points
+from camkifu_tpu.ops.lens import (Lens, distort_pts, make_lens,
+                                  undistort_frame, undistort_pts)
 from camkifu_tpu.ops.warp import (apply_homography, bilinear_sample,
                                   homography_dlt, _subpixel_shift)
 
@@ -482,16 +484,22 @@ def _rect_H(quad: jnp.ndarray, margin: float, res: int) -> jnp.ndarray:
     return homography_dlt(unit, equad)
 
 
-def _sample_rect(gray: jnp.ndarray, H: jnp.ndarray, res: int) -> jnp.ndarray:
+def _sample_rect(gray: jnp.ndarray, H: jnp.ndarray, res: int,
+                 lens: Lens | None = None) -> jnp.ndarray:
     """Rectify `gray` through H → (res, res) float32.
 
     The gather dominates detection; uint8 gray reads 4× fewer bytes per
     tap (bilinear_sample converts only the taps), and every downstream
     profile statistic is percentile/max-normalized → scale-free.
+
+    With `lens`, H must map rect → PINHOLE frame coords (i.e. be built
+    from undistorted corners); the sample grid is bent back through the
+    lens before the gather (ops/lens.py convention).
     """
     us = jnp.arange(res, dtype=jnp.float32)
     uu, vv = jnp.meshgrid(us, us, indexing="xy")
     src = apply_homography(H, jnp.stack([uu, vv], axis=-1))
+    src = distort_pts(lens, src)
     rect = bilinear_sample(gray[..., None], src[..., 0], src[..., 1])[..., 0]
     if gray.dtype == jnp.uint8:
         rect = rect * (1.0 / 255.0)
@@ -929,6 +937,109 @@ def detect_corners(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
         gray, quad, score = _detect_prepare(frame, res)
         corners = _detect_refine(gray, quad, score, gsize, refine_iters)
         return corners, score
+
+
+# ---------------------------------------------------------------------------
+# Lens (radial distortion) calibration — anchor-time only.
+# ---------------------------------------------------------------------------
+
+#: Coarse calibration grid (barrel-skewed: webcams are barrel far more
+#: often than pincushion, and strong pincushion folds at the frame edge —
+#: see ops/lens.py). Bounds chosen from the measured failure envelope:
+#: detection is fine below |k1| ≈ 0.015 and unrecoverable past ~0.15.
+K1_CAL_GRID = (-0.09, -0.06, -0.035, -0.015, 0.0,
+               0.015, 0.035, 0.06, 0.09, 0.13)
+
+#: Minimum lattice-evidence gain over the pinhole (k1 = 0) run before a
+#: nonzero k1 is adopted: on genuinely pinhole footage the argmax over the
+#: grid is sampling noise, and a phantom lens would bend every warp in the
+#: system. Measured on straight synth footage the spurious best-over-grid
+#: gain is ≤7%; a real lens gains 17% at k1 = 0.02 and 35%+ from 0.04 up.
+K1_CAL_MARGIN = 1.10
+
+
+@functools.partial(jax.jit, static_argnames=("res", "gsize"))
+def _detect_k1_probe(frame: jnp.ndarray, k1,
+                     res: int = 512, gsize: int = 19):
+    """Full detection on the k1-undistorted frame, plus a lattice-evidence
+    quality score for the result.
+
+    k1 is TRACED, so ONE compilation serves the entire calibration grid.
+    The frame is resampled to pinhole geometry first (undistort_frame —
+    the one place in the system that pays a full-frame gather, affordable
+    because calibration runs once per session at anchor time) and the
+    ordinary straight-line detector runs unchanged; the returned corners
+    are bent back to RAW frame coordinates. Quality = mean LINE-SCALE
+    lattice evidence at the detected quad's gsize² intersections: with
+    the WRONG k1 the interior lines stay bowed after rectification and
+    edge energy at the predicted intersections drops. The line-scale
+    center-surround (radii 1/5 px) is used, NOT the blob-scale
+    _evidence_map — grid lines are 1–2 px and residual bow at Δk1 = 0.015
+    displaces mid-edge lines by only ~3 rect px, inside the blob map's
+    plateau (measured: blob evidence carries a systematic ≈−0.015 k1 bias;
+    line evidence peaks on the true k1 at 0.015 grid spacing). Coarse
+    `score` does not discriminate at all — it kept reading 0.9 while 2
+    cells off on distorted footage.
+
+    res = 512, not the runtime's bf_resolution (256): at 256 the coarse
+    quad's own noise moves the objective by more than a 0.015 k1 step
+    (measured: the coarse grid argmax landed one step off for true
+    k1 = 0.04/0.08 at 256, dead-on at 512). Calibration runs once per
+    session — precision is worth the 4× coarse-stage pixels here.
+    """
+    lens = make_lens(k1, (frame.shape[0], frame.shape[1]))
+    pin = undistort_frame(frame, lens)
+    with jax.default_matmul_precision("float32"):
+        gray, quad, score = _detect_prepare(pin, res)
+        corners = _detect_refine(gray, quad, score, gsize, 1)
+        from camkifu_tpu.ops.warp import _inv3
+        H, _, _, rect = _rect_profiles_rect(gray, corners, gsize)
+        gx, gy = sobel(rect)
+        edge = jnp.abs(gx) + jnp.abs(gy)
+        cs = _box_blur(edge, 1) - _box_blur(edge, 5)
+        E = jnp.maximum(cs, 0.0) / jnp.maximum(jnp.abs(cs).max(), 1e-9)
+        q = _lattice_evidence(E, _inv3(H), corners[None], gsize)[0]
+    return distort_pts(lens, corners), score, q
+
+
+@jax.jit
+def _undistort_batch(frames: jnp.ndarray, lens: Lens) -> jnp.ndarray:
+    """Pinhole-resample a small frame batch (anchor-path detection only —
+    hot paths compose the lens into sample coordinates instead)."""
+    return jax.vmap(lambda f: undistort_frame(f, lens))(frames)
+
+
+def estimate_lens_k1(frame, gsize: int = 19,
+                     grid=K1_CAL_GRID) -> tuple[float, float]:
+    """Estimate the radial distortion coefficient from one frame.
+
+    Coarse grid over k1 (one jit specialization, k1 traced), then a fine
+    sweep between the winner's neighbors. Returns (k1, gain) where gain is
+    the winner's lattice-evidence ratio over the pinhole run; k1 is 0.0
+    unless the gain clears K1_CAL_MARGIN (phantom-lens hysteresis).
+    """
+    frame = jnp.asarray(frame)
+
+    def q_at(k1: float) -> float:
+        _, _, q = _detect_k1_probe(frame, jnp.float32(k1), gsize=gsize)
+        q = float(q)
+        return q if np.isfinite(q) else -1.0
+
+    qs = [q_at(k) for k in grid]
+    q0 = qs[list(grid).index(0.0)]
+    i = int(np.argmax(qs))
+    best_k, best_q = grid[i], qs[i]
+    if best_k != 0.0:
+        lo = grid[i - 1] if i > 0 else best_k - 0.02
+        hi = grid[i + 1] if i + 1 < len(grid) else best_k + 0.02
+        for k in np.linspace(lo, hi, 7)[1:-1]:
+            q = q_at(float(k))
+            if q > best_q:
+                best_k, best_q = float(k), q
+    gain = best_q / max(q0, 1e-9)
+    if gain < K1_CAL_MARGIN or abs(best_k) < 0.01:
+        return 0.0, gain
+    return round(best_k, 4), gain
 
 
 #: Residual-rotation re-rectification threshold (radians). Below ~0.6° the
@@ -1529,7 +1640,7 @@ def _align_quality(cols, rows, rc_seed, dx, dy, sigma, gsize: int):
 @functools.partial(jax.jit, static_argnames=("gsize", "chunk", "res"))
 def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
                         gsize: int = 19, chunk: int = 8,
-                        res: int = REFINE_RES):
+                        res: int = REFINE_RES, lens: Lens | None = None):
     """Per-frame board corners across a batch, tracked from a seed detection.
 
     Full detection (detect_corners) costs ~24 ms/frame — per-frame
@@ -1581,12 +1692,17 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             # Lock residual is chunk-local: the handoff re-anchors on
             # measured corners, so no correction carries across chunks.
             e_lock = jnp.zeros((2,), jnp.float32)
-            H = _rect_H(seed, TRACK_MARGIN, res)
+            # Corners are raw frame coords; the rect frame is built in
+            # PINHOLE geometry (lens composed into the sampling below), so
+            # the canvas lattice stays straight under a distorting lens.
+            seed_pin = undistort_pts(lens, seed)
+            H = _rect_H(seed_pin, TRACK_MARGIN, res)
             # Where the seed corners ACTUALLY land in rect coords — not the
             # analytic (o0, s0): the frame-space margin expansion is not
             # affine, so the projective residual is several px.
-            rc_seed = apply_homography(_inv3(H), seed)        # (4, 2)
-            rects = jax.vmap(lambda g: _sample_rect(g, H, res))(frames_chunk)
+            rc_seed = apply_homography(_inv3(H), seed_pin)    # (4, 2)
+            rects = jax.vmap(
+                lambda g: _sample_rect(g, H, res, lens))(frames_chunk)
             cf, rf, ct, cb, rl, rr = jax.vmap(
                 lambda r: _split_profiles(r, gsize))(rects)
             cols, rows = cf, rf
@@ -1620,7 +1736,8 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             dy = dy + e_lock[1]
 
             rcs = _apply_similarity(rc_seed, dx, dy, theta, sigma)
-            cs = jax.vmap(lambda rc: apply_homography(H, rc))(rcs)
+            cs = jax.vmap(
+                lambda rc: distort_pts(lens, apply_homography(H, rc)))(rcs)
             align = _align_quality(cols, rows, rc_seed, dx, dy, sigma, gsize)
             # Hand off to the next chunk: it re-rectifies at the last
             # frame's corners, so in ITS rect coords the lattice sits at
@@ -1629,8 +1746,9 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             # both reference parts onto the new anchor (profile_shift moves
             # content left by its argument, i.e. a peak at p → p − arg).
             new_seed = cs[-1]
-            H2 = _rect_H(new_seed, TRACK_MARGIN, res)
-            rc_seed2 = apply_homography(_inv3(H2), new_seed)
+            ns_pin = undistort_pts(lens, new_seed)
+            H2 = _rect_H(ns_pin, TRACK_MARGIN, res)
+            rc_seed2 = apply_homography(_inv3(H2), ns_pin)
             anchor = rc_seed.mean(axis=0)                     # (2,)
             anchor2 = rc_seed2.mean(axis=0)
             # old ref: lattice at anchor → want anchor2: shift by anchor−anchor2
@@ -1661,7 +1779,7 @@ def track_corners_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
                    static_argnames=("gsize", "zone", "chunk", "pad_cells"))
 def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
                         gsize: int = 19, zone: int = 16, chunk: int = 16,
-                        pad_cells: int = 1):
+                        pad_cells: int = 1, lens: Lens | None = None):
     """FUSED canonical rectification + per-frame board tracking.
 
     One chunk-shared gather per frame (the warp_batch_chunked trick) warps
@@ -1716,8 +1834,12 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             seed, ref_col, ref_row, ref_ok = carry
             # Lock residual is chunk-local (see track_corners_batch.body).
             e_lock = jnp.zeros((2,), jnp.float32)
-            H = homography_dlt(anchors, seed)
-            src = apply_homography(H, grid)
+            # Raw-corner convention: the homography is built in pinhole
+            # geometry and the canvas sample grid bends back through the
+            # lens — the canvas lattice stays straight under distortion
+            # (free: same gather, different coordinates).
+            H = homography_dlt(anchors, undistort_pts(lens, seed))
+            src = distort_pts(lens, apply_homography(H, grid))
             rect = jax.vmap(lambda f: bilinear_sample(
                 f, src[..., 0], src[..., 1]))(frames_chunk) * scale
             luma = jnp.tensordot(
@@ -1777,7 +1899,8 @@ def rectify_track_batch(frames: jnp.ndarray, seed_corners: jnp.ndarray,
             _, canon = jax.lax.scan(crop, None, (rect, ix, iy, fx, fy))
 
             rcs = _apply_similarity(anchors, dx, dy, theta, sigma)
-            cs = jax.vmap(lambda rc: apply_homography(H, rc))(rcs)
+            cs = jax.vmap(
+                lambda rc: distort_pts(lens, apply_homography(H, rc)))(rcs)
             align = _align_quality(cols, rows, anchors, dx, dy, sigma, gsize)
             # Next chunk re-anchors at the last frame's corners: its lattice
             # lands back at `anchors` (exact, by DLT construction), so the
@@ -1829,6 +1952,13 @@ class BoardFinderAuto(BoardFinder):
         super().__init__(vmanager)
         self._estimate: np.ndarray | None = None
         self.track_seed = None             # device (4, 2), batch-fresh
+        #: Radial lens model (ops/lens.py), calibrated once at the first
+        #: successful anchor — a physical property of the camera, so it
+        #: never re-estimates mid-session. None = pinhole. Stones finders
+        #: read it (getattr(bf, "lens", None)) and compose it into their
+        #: warps; corners everywhere stay raw frame coordinates.
+        self.lens = None
+        self._lens_checked = False
         self._align_anchor: float | None = None  # align at last re-anchor
         self._prev_tracked_last: np.ndarray | None = None  # (4, 2) continuity
         #: True while this batch's tracking hit a discontinuity (jump trip):
@@ -1879,7 +2009,8 @@ class BoardFinderAuto(BoardFinder):
             # pass and reports back through report_tracking.
             return
         cs, sharp, align, new_seed = track_corners_batch(
-            jnp.asarray(frames), self.track_seed, gsize=self.gsize)
+            jnp.asarray(frames), self.track_seed, gsize=self.gsize,
+            lens=self.lens)
         self.report_tracking(np.asarray(cs), new_seed,
                              float(np.asarray(sharp).mean()),
                              self.batch_align(align, sharp))
@@ -1999,11 +2130,30 @@ class BoardFinderAuto(BoardFinder):
         b = frames.shape[0]
         step = max(1, b // 4)
         sample = jnp.asarray(frames[::step][:4])
+        if self.lens is not None:
+            # Straight-line detection on pinhole-resampled frames; the
+            # per-frame results are bent back to raw coordinates below.
+            sample = _undistort_batch(sample, self.lens)
         corners_all, scores = detect_batch(sample, gsize=self.gsize)
+        if self.lens is not None:
+            corners_all = distort_pts(self.lens, corners_all)
         det = np.asarray(jnp.median(corners_all, axis=0))
         scores = np.asarray(scores)
         if not np.isfinite(det).all() or scores.max() < 0.1:
             return False
+        if not self._lens_checked:
+            # First successful board sighting: calibrate the (fixed,
+            # physical) lens once, and re-run this batch's detection if a
+            # lens was found — the pinhole detection that just succeeded
+            # is up to ~1.25 cells off at webcam-typical k1 (PERF.md).
+            k1, gain = estimate_lens_k1(sample[len(sample) // 2],
+                                        gsize=self.gsize)
+            self._lens_checked = True
+            self.metadata["lens_k1"] = k1
+            if k1 != 0.0:
+                h, w = frames.shape[1], frames.shape[2]
+                self.lens = make_lens(k1, (h, w))
+                return self._detect(frames)
         if self._estimate is None:
             self._estimate = det
         else:

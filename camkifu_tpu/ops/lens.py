@@ -84,6 +84,14 @@ def identity_lens() -> Lens:
     return Lens(0.0, 0.0, 0.0, 1.0, 1.0)
 
 
+def stack_lenses(lenses) -> Lens:
+    """N per-stream Lens models → one Lens whose leaves are (N,) arrays,
+    for stream-sharded engines (parallel/mesh.py multistream_track_read:
+    independent streams come from different physical cameras)."""
+    return Lens(*(jnp.asarray([getattr(ln, f) for ln in lenses],
+                              jnp.float32) for f in Lens._fields))
+
+
 def _norm(lens: Lens, pts: jnp.ndarray):
     nx = (pts[..., 0] - lens.cx) / lens.sx
     ny = (pts[..., 1] - lens.cy) / lens.sy

@@ -92,17 +92,25 @@ def multistream_init_states(n_streams: int, gsize: int = guiconf.gsize):
         lambda leaf: jnp.broadcast_to(leaf, (n_streams,) + leaf.shape), one)
 
 
-def _track_all_streams(states, frames, seeds, gsize, zone):
+def _track_all_streams(states, frames, seeds, lenses=None, *,
+                       gsize, zone):
     from camkifu_tpu.stone import sf_meta
 
     # lax.map (sequential over local streams), NOT vmap: each stream's
     # fused tracker re-rectifies on its own running seed — vmap would batch
     # distinct gather-index sets (the TPU batched-gather cliff), while each
     # map step's chunk-shared gather vectorizes across the stream's frames.
+    if lenses is None:
+        return jax.lax.map(
+            lambda sfs: sf_meta.track_read_batch(
+                sfs[0], sfs[1], sfs[2], gsize=gsize, zone=zone),
+            (states, frames, seeds))
+    # Per-stream lens models (different cameras): a stacked Lens pytree
+    # with a leading stream axis, sharded/mapped like every other operand.
     return jax.lax.map(
         lambda sfs: sf_meta.track_read_batch(
-            sfs[0], sfs[1], sfs[2], gsize=gsize, zone=zone),
-        (states, frames, seeds))
+            sfs[0], sfs[1], sfs[2], gsize=gsize, zone=zone, lens=sfs[3]),
+        (states, frames, seeds, lenses))
 
 
 #: (mesh, gsize, zone) → jitted shard_map of _track_all_streams. jax.jit
@@ -113,11 +121,12 @@ def _track_all_streams(states, frames, seeds, gsize, zone):
 _track_fns: dict = {}
 
 
-def _track_fn(mesh: Mesh, gsize: int, zone: int):
-    key = (mesh, gsize, zone)
+def _track_fn(mesh: Mesh, gsize: int, zone: int, with_lenses: bool = False):
+    key = (mesh, gsize, zone, with_lenses)
     fn = _track_fns.get(key)
     if fn is None:
         spec = P("stream")
+        n_in = 4 if with_lenses else 3
         # check_vma off: the tracker's lax.scan carries bootstrap from
         # replicated constants (zeros) but become stream-varying after one
         # step, which the varying-manual-axes analysis rejects even though
@@ -125,7 +134,7 @@ def _track_fn(mesh: Mesh, gsize: int, zone: int):
         # exists for it to validate).
         fn = _track_fns[key] = jax.jit(jax.shard_map(
             functools.partial(_track_all_streams, gsize=gsize, zone=zone),
-            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            mesh=mesh, in_specs=(spec,) * n_in, out_specs=spec,
             check_vma=False))
     return fn
 
@@ -133,7 +142,7 @@ def _track_fn(mesh: Mesh, gsize: int, zone: int):
 def multistream_track_read(mesh: Mesh, states, frames: jnp.ndarray,
                            seeds: jnp.ndarray,
                            gsize: int = guiconf.gsize,
-                           zone: int = cvconf.zone_size):
+                           zone: int = cvconf.zone_size, lenses=None):
     """Config 4 × config 5: the FUSED tracking engine (per-frame board
     measurement + rectification + classification + vote scan) over N
     independent *handheld* streams, sharded over the mesh.
@@ -146,7 +155,9 @@ def multistream_track_read(mesh: Mesh, states, frames: jnp.ndarray,
 
     states: stacked MetaState (multistream_init_states); frames:
     (n_streams, B, H, W, 3); seeds: (n_streams, 4, 2) — each stream's last
-    detection or previous new_seed.
+    detection or previous new_seed. lenses: optional stacked ops/lens.Lens
+    (each leaf (n_streams,)) — per-stream radial distortion models, since
+    independent streams come from different physical cameras.
     Returns (new_states, labels (S, B, g, g), conf, agitation (S, B),
     corners (S, B, 4, 2), sharpness (S, B), align (S, B),
     new_seeds (S, 4, 2)), all stream-sharded.
@@ -156,7 +167,12 @@ def multistream_track_read(mesh: Mesh, states, frames: jnp.ndarray,
     frames = jax.device_put(frames, sh)
     seeds = jax.device_put(seeds, sh)
     with mesh:
-        return _track_fn(mesh, gsize, zone)(states, frames, seeds)
+        if lenses is None:
+            return _track_fn(mesh, gsize, zone)(states, frames, seeds)
+        lenses = jax.tree.map(
+            lambda leaf: jax.device_put(jnp.asarray(leaf), sh), lenses)
+        return _track_fn(mesh, gsize, zone, True)(states, frames, seeds,
+                                                  lenses)
 
 
 def multistream_read_meta(mesh: Mesh, states, frames: jnp.ndarray,

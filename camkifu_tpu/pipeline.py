@@ -30,7 +30,7 @@ from camkifu_tpu.stone import sf_clustering
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_board_batch(frames: jnp.ndarray, corners: jnp.ndarray,
                      gsize: int = guiconf.gsize,
-                     zone: int = cvconf.zone_size):
+                     zone: int = cvconf.zone_size, lens=None):
     """Stage-3 slice (BASELINE config 1/2): fixed corners, per-frame
     clustering classification, no temporal state.
 
@@ -50,8 +50,10 @@ def read_board_batch(frames: jnp.ndarray, corners: jnp.ndarray,
         # write a 4× f32 copy of every frame to HBM.
         scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
         if corners.ndim == 2:
-            canon = warp_batch_fixed(frames, corners, gsize, zone) * scale
+            canon = warp_batch_fixed(frames, corners, gsize, zone,
+                                     lens) * scale
         else:
-            canon = warp_batch_chunked(frames, corners, gsize, zone) * scale
+            canon = warp_batch_chunked(frames, corners, gsize, zone,
+                                       lens=lens) * scale
         return jax.vmap(
             lambda c: sf_clustering.classify_canonical(c, gsize, zone))(canon)

@@ -134,7 +134,7 @@ def step_frame(state: BgSubState, canonical: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_batch(state: BgSubState, frames: jnp.ndarray, corners: jnp.ndarray,
                gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
-               valid_count=None):
+               valid_count=None, lens=None):
     """Scan over a frame batch; same contract as sf_meta.read_batch
     (incl. valid_count masking padded tail frames out of the state).
 
@@ -148,11 +148,12 @@ def read_batch(state: BgSubState, frames: jnp.ndarray, corners: jnp.ndarray,
         scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
 
         if per_frame:
-            canon = warp_batch_chunked(frames, corners, gsize, zone) * scale
+            canon = warp_batch_chunked(frames, corners, gsize, zone,
+                                       lens=lens) * scale
         else:
             canon = jax.vmap(
-                lambda f: warp_to_canonical(f, corners, gsize, zone) * scale)(
-                    frames)
+                lambda f: warp_to_canonical(f, corners, gsize, zone,
+                                            lens) * scale)(frames)
 
         b = canon.shape[0]
         if valid_count is None:
@@ -204,7 +205,7 @@ class SfBgSub(_SF):
         self.state, labels, conf, agitation = read_batch(
             self.state, jnp.asarray(frames),
             jnp.asarray(corners, jnp.float32), gsize=self.gsize,
-            valid_count=vc)
+            valid_count=vc, lens=self._bf_lens())
         self.metadata["agitation"] = round(
             float(np.asarray(agitation).mean()), 4)
         return labels, conf

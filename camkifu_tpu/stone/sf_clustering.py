@@ -116,7 +116,8 @@ class SfClustering(_SF):
 
         return pipeline.read_board_batch(jnp.asarray(frames),
                                          jnp.asarray(corners, jnp.float32),
-                                         gsize=self.gsize)
+                                         gsize=self.gsize,
+                                         lens=self._bf_lens())
 
 
 if __name__ == "__main__":          # golden-input probe (SURVEY §4)

@@ -114,13 +114,13 @@ from camkifu_tpu.stone.stonesfinder import StonesFinder as _SF  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("gsize",))
-def _read_batch_contours(fb, cs, gsize=guiconf.gsize):
+def _read_batch_contours(fb, cs, gsize=guiconf.gsize, lens=None):
     with jax.default_matmul_precision("float32"):
         scale = 1.0 / 255.0 if fb.dtype == jnp.uint8 else 1.0
         if cs.ndim == 3:                      # per-frame corners (tracking)
-            canon = warp_batch_chunked(fb, cs, gsize) * scale
+            canon = warp_batch_chunked(fb, cs, gsize, lens=lens) * scale
         else:
-            canon = warp_batch_fixed(fb, cs, gsize) * scale
+            canon = warp_batch_fixed(fb, cs, gsize, lens=lens) * scale
         return jax.vmap(lambda c: classify_canonical(c, gsize))(canon)
 
 
@@ -132,4 +132,5 @@ class SfContours(_SF):
     def _find(self, frames, corners):
         return _read_batch_contours(jnp.asarray(frames),
                                     jnp.asarray(corners, jnp.float32),
-                                    gsize=self.gsize)
+                                    gsize=self.gsize,
+                                    lens=self._bf_lens())

@@ -85,7 +85,7 @@ def _region_index(gsize: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
                gsize: int = guiconf.gsize, zone: int = cvconf.zone_size,
-               neural_params=None, valid_count=None):
+               neural_params=None, valid_count=None, lens=None):
     """The meta state machine over a batch of frames.
 
     frames: (B, H, W, 3) uint8; corners: (4, 2) fixed or (B, 4, 2) per-frame.
@@ -106,11 +106,12 @@ def read_batch(state: MetaState, frames: jnp.ndarray, corners: jnp.ndarray,
         scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
 
         if per_frame:
-            canon = warp_batch_chunked(frames, corners, gsize, zone) * scale
+            canon = warp_batch_chunked(frames, corners, gsize, zone,
+                                       lens=lens) * scale
         else:
             canon = jax.vmap(
-                lambda f: warp_to_canonical(f, corners, gsize, zone) * scale)(
-                    frames)
+                lambda f: warp_to_canonical(f, corners, gsize, zone,
+                                            lens) * scale)(frames)
         return _scan_canonical(state, canon, gsize, zone, neural_params,
                                valid_count)
 
@@ -232,19 +233,22 @@ def track_read_batch(state: MetaState, frames: jnp.ndarray,
                      seed_corners: jnp.ndarray,
                      gsize: int = guiconf.gsize,
                      zone: int = cvconf.zone_size,
-                     chunk: int = 16, neural_params=None, valid_count=None):
+                     chunk: int = 16, neural_params=None, valid_count=None,
+                     lens=None):
     """Config-4 engine: fused per-frame board tracking + rectification +
     classification + vote scan in ONE jit region.
 
     frames: (B, H, W, 3); seed_corners: (4, 2) from a full detection (the
     host re-detects at bf_period cadence and re-anchors the seed).
+    lens: optional radial distortion model (ops/lens.py, calibrated by
+    BoardFinderAuto) — composed into the tracker's sample coordinates.
     Returns (state, labels, conf, agitation, corners (B, 4, 2),
     sharpness (B,), align (B,), new_seed (4, 2)).
     """
     from camkifu_tpu.board.bf_auto import rectify_track_batch
 
     canon, corners, sharp, align, new_seed = rectify_track_batch(
-        frames, seed_corners, gsize=gsize, zone=zone, chunk=chunk)
+        frames, seed_corners, gsize=gsize, zone=zone, chunk=chunk, lens=lens)
     new_state, labels, conf, agitation = _scan_canonical(
         state, canon, gsize, zone, neural_params, valid_count)
     return new_state, labels, conf, agitation, corners, sharp, align, new_seed
@@ -324,7 +328,8 @@ class SfMeta(_SF):
          new_seed) = track_read_batch(
             self.state, jnp.asarray(frames), seed, gsize=self.gsize,
             neural_params=self.neural_params,
-            valid_count=self._valid_arg(frames, n))
+            valid_count=self._valid_arg(frames, n),
+            lens=getattr(bf, "lens", None))
         bf.report_tracking(_np.asarray(corners), new_seed,
                            float(_np.asarray(sharp).mean()),
                            bf.batch_align(align, sharp))
@@ -397,7 +402,8 @@ class SfMeta(_SF):
             self.state, jnp.asarray(frames),
             jnp.asarray(corners, jnp.float32), gsize=self.gsize,
             neural_params=self.neural_params,
-            valid_count=self._valid_arg(frames, self._batch_valid))
+            valid_count=self._valid_arg(frames, self._batch_valid),
+            lens=self._bf_lens())
         self._report(agitation)
         return labels, conf
 

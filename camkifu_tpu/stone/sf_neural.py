@@ -25,15 +25,17 @@ from camkifu_tpu.stone.stonesfinder import StonesFinder
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))
 def classify_batch_neural(params, frames, corners,
                           gsize: int = guiconf.gsize,
-                          zone: int = cvconf.zone_size):
+                          zone: int = cvconf.zone_size, lens=None):
     """(B, H, W, 3) uint8 + (4, 2) or per-frame (B, 4, 2) corners →
     (labels (B,g,g), conf)."""
     with jax.default_matmul_precision("float32"):
         scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
         if corners.ndim == 3:
-            canon = warp_batch_chunked(frames, corners, gsize, zone) * scale
+            canon = warp_batch_chunked(frames, corners, gsize, zone,
+                                       lens=lens) * scale
         else:
-            canon = warp_batch_fixed(frames, corners, gsize, zone) * scale
+            canon = warp_batch_fixed(frames, corners, gsize, zone,
+                                     lens) * scale
     b = frames.shape[0]
     zones = jax.vmap(lambda c: extract_zones(c, gsize, zone))(canon)
     patches = zones.reshape(b * gsize * gsize, zone, zone, 3)
@@ -78,4 +80,5 @@ class SfNeural(StonesFinder):
     def _find(self, frames, corners):
         return classify_batch_neural(self.params, jnp.asarray(frames),
                                      jnp.asarray(corners, jnp.float32),
-                                     gsize=self.gsize)
+                                     gsize=self.gsize,
+                                     lens=self._bf_lens())

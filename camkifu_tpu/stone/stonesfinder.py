@@ -148,6 +148,15 @@ class StonesFinder(VidProcessor):
             return cb                       # per-frame corners (tracking)
         return bf.corners_array
 
+    def _bf_lens(self):
+        """The board finder's calibrated radial lens model (ops/lens.py),
+        or None. Finders compose it into their warp sample coordinates so
+        interior stones land in their zones on distorted footage (corners
+        alone only pin the four board corners — at webcam-typical
+        k1 = 0.08 an uncorrected interior is ~1 cell off mid-edge)."""
+        return getattr(getattr(self.vmanager, "board_finder", None),
+                       "lens", None)
+
     def _find(self, frames, corners):
         """Batched device classification → (labels (B, g, g), conf)."""
         raise NotImplementedError

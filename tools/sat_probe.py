@@ -7,9 +7,16 @@ any change to the saturated refinement branch.
 
 Usage: JAX_PLATFORMS=cpu python tools/sat_probe.py [nstones:persp ...]
 """
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+if os.environ.get("JAX_PLATFORMS"):
+    # sitecustomize force-registers the axon TPU platform ahead of the
+    # env var (see tests/conftest.py); honor the env var explicitly.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import numpy as np
 import jax.numpy as jnp
 
