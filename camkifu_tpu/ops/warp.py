@@ -63,7 +63,20 @@ def _solve8(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     slicing — hundreds of microseconds per tiny system on TPU, which
     dominates per-frame homography solves. Eight unrolled elimination steps
     of pure vector ops cost almost nothing and vmap cleanly.
+
+    The optimization barrier is load-bearing: XLA:TPU's constant folding
+    MISCOMPILES the vmapped elimination when A and b are compile-time
+    constants (measured on-chip: jit(vmap(_solve8)) over the exact
+    square→square DLT system returns [0,-1,1,0,1,-1,0,-1] instead of the
+    identity solution, while eager vmap and un-vmapped jit-const are both
+    exact — the batched pivot-swap select/scatter folds wrong). Constants
+    reach this path whenever a homography between two static quads is
+    built inside a jit under vmap (e.g. canonical→canonical in the
+    manual-lens probe). The barrier keeps the solve out of the folder at
+    the cost of folding a few hundred scalar flops at runtime — nothing —
+    and is a no-op for traced inputs.
     """
+    A, b = jax.lax.optimization_barrier((A, b))
     M = jnp.concatenate([A, b[:, None]], axis=1)        # (8, 9)
     for k in range(8):
         col = jnp.abs(M[:, k])

@@ -39,7 +39,7 @@ def test_estimate_and_detect_under_distortion(true_k1, tol_cells):
     frame, truth = synth.render_frame(labels, corners=corners, frame_hw=HW,
                                       lens_k1=true_k1, seed=5)
     est, gain = bf_auto.estimate_lens_k1(jnp.asarray(frame))
-    assert abs(est - true_k1) < 0.012, (est, gain)
+    assert abs(est - true_k1) < 0.006, (est, gain)
     det, score, _ = bf_auto._detect_k1_probe(jnp.asarray(frame),
                                              jnp.float32(est))
     cell = np.linalg.norm(truth[1] - truth[0]) / 18.0
@@ -79,4 +79,74 @@ def test_lens_e2e_game():
     assert got == [(m.color, m.row, m.col) for m in moves]
     k1 = vm.board_finder.metadata.get("lens_k1")
     assert k1 is not None and abs(k1 - 0.06) < 0.012, k1
+    assert vm.board_finder.lens is not None
+
+
+# ---------------------------------------------------------------------------
+# Manual mode: clicked corners are ground truth → corners-based calibration.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("true_k1", [0.08, -0.06])
+def test_estimate_corners_recovers_k1(true_k1):
+    """estimate_lens_k1_corners (evidence sweep + bow refinement) recovers
+    k1 to ±0.004 given the true corners — 3× tighter than the detection
+    path, because the corners carry no detection noise and the bow
+    objective's argmin sits on the true k1 (probe-measured V-curve)."""
+    rng = np.random.default_rng(13)
+    labels = np.zeros((19, 19), np.int8)
+    idx = rng.choice(361, 60, replace=False)
+    labels.flat[idx[:30]] = 1
+    labels.flat[idx[30:]] = 2
+    corners = synth.default_corners(HW, perspective=0.12)
+    frame, truth = synth.render_frame(labels, corners=corners, frame_hw=HW,
+                                      lens_k1=true_k1, seed=5)
+    est, gain = bf_auto.estimate_lens_k1_corners(jnp.asarray(frame), truth)
+    assert abs(est - true_k1) < 0.004, (est, gain)
+    assert gain > bf_auto.K1_CAL_MARGIN
+
+
+def test_estimate_corners_rejects_phantom_lens():
+    """Pinhole footage with known corners calibrates to exactly 0."""
+    rng = np.random.default_rng(13)
+    labels = np.zeros((19, 19), np.int8)
+    idx = rng.choice(361, 60, replace=False)
+    labels.flat[idx[:30]] = 1
+    labels.flat[idx[30:]] = 2
+    corners = synth.default_corners(HW, perspective=0.12)
+    frame, truth = synth.render_frame(labels, corners=corners, frame_hw=HW,
+                                      seed=5)
+    est, _ = bf_auto.estimate_lens_k1_corners(jnp.asarray(frame), truth)
+    assert est == 0.0
+
+
+def test_manual_finder_lens_e2e_game():
+    """BoardFinderManual + SfMeta on a k1 = 0.06 game: the user clicks the
+    four (distorted) corners, the finder self-calibrates from the first
+    batch, publishes self.lens, and every move reads correctly. Without
+    the lens the plain homography misplaces interior stones ~1 cell
+    mid-edge at this k1 (NEXT r3 item 3 — manual mode was pinhole-only)."""
+    from camkifu_tpu.board.bf_manual import BoardFinderManual
+    from camkifu_tpu.ops import lens as L
+
+    moves = synth.sample_moves(8, seed=11)
+    pin_corners = synth.default_corners(HW, perspective=0.10)
+    frames = [f for f, _ in synth.render_game(
+        moves, frames_per_move=cvconf.vote_window + 4, frame_hw=HW,
+        corners=pin_corners, lens_k1=0.06, seed=3)]
+    clicked = np.asarray(L.distort_pts(L.make_lens(0.06, HW),
+                                       jnp.asarray(pin_corners)))
+
+    controller = ControllerVSeq()
+    vm = VManagerSeq(controller, video=None, bf_class=BoardFinderManual,
+                     sf_class=SfMeta, batch=16)
+    vm.capture = ArrayCapture(frames)
+    vm.instantiate_finders()
+    vm.board_finder.key = None
+    vm.board_finder.set_corners(clicked)
+    vm.run()
+
+    got = [(m.color, m.row, m.col) for m in controller.kifu.moves()]
+    assert got == [(m.color, m.row, m.col) for m in moves]
+    k1 = vm.board_finder.metadata.get("lens_k1")
+    assert k1 is not None and abs(k1 - 0.06) < 0.006, k1
     assert vm.board_finder.lens is not None
