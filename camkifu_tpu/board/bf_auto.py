@@ -835,7 +835,20 @@ def _rank_evidence(cands: jnp.ndarray, E: jnp.ndarray, Hinv: jnp.ndarray,
       one-cell-shifted lattice — which keeps 18/19 of its teeth on true
       lines and parks the ghost row on the strong slab edge, so pure
       evidence barely separates it — is asymmetric by a full cell
-      (measured: rotated boards misranked 1 cell inward without this)."""
+      (measured: rotated boards misranked 1 cell inward without this).
+
+    The symmetry penalty is QUADRATIC above a 0.6-cell dead zone, not
+    linear above 0.4: the measured impostor classes sit at asym ≈ 1.0
+    (one-cell-inward shrunk lattice) and ≈ 2.2 (one-cell shift — both
+    sides of one axis move oppositely, so the sum reads TWO cells), while
+    the TRUE pose reads up to ~0.8 when the coarse slab itself is biased
+    (220 stones / persp 0.30: truth asym 0.75, and the old linear penalty
+    −0.21 overturned truth's genuine +0.026 evidence gap — the prior was
+    adjudicating between two NON-impostor candidates, which is not its
+    job; local-pitch normalization was measured and does NOT explain the
+    0.75, the slab is simply off). Quadratic keeps ≤0.03 penalty through
+    the true-pose range, −0.13 at the shrunk impostor, −2 at the shifted
+    one."""
     ev = _lattice_evidence(E, Hinv, cands, gsize)
     insets = jax.vmap(lambda c: _slab_inset(c, quad))(cands)
     rc = apply_homography(Hinv, cands)                        # (N, 4, 2)
@@ -846,7 +859,7 @@ def _rank_evidence(cands: jnp.ndarray, E: jnp.ndarray, Hinv: jnp.ndarray,
             + jnp.abs(side[:, 1] - side[:, 3])) \
         / jnp.maximum(rcell, 1e-3)                            # in cells
     return ev + jnp.minimum(insets / cell - 0.25, 0.0) \
-        - 0.6 * jnp.maximum(asym - 0.4, 0.0)
+        - 0.8 * jnp.square(jnp.maximum(asym - 0.6, 0.0))
 
 
 def _detect_prepare(frame: jnp.ndarray, res: int,
