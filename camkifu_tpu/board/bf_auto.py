@@ -1368,11 +1368,20 @@ def _detect_refine(gray: jnp.ndarray, quad: jnp.ndarray, score,
             # Escape the comb family entirely: evidence-ascent polish of
             # the running winner (the residual keystone no comb candidate
             # can express — see _evidence_polish), re-ranked with the rest.
-            w3 = cands[jnp.argmax(ranks)]
-            pol = _evidence_polish(E, H, Hinv, w3, gsize)[None]
-            cands = jnp.concatenate([cands, pol])
-            ranks = jnp.concatenate(
-                [ranks, _rank_evidence(pol, E, Hinv, quad, cell, gsize)])
+            # TWO polish→re-rank rounds: the coarse-to-fine spans shrink
+            # faster than the descent can travel when the seed is ~0.5 cell
+            # off (measured at 220 stones / persp 0.30: round 1 lands
+            # 18 px off and WINS the rank; a second round seeded on that
+            # winner restarts at span 0.45 and reaches 2.8 px, ev 0.481 →
+            # 0.507, outranking round 1 — tools/evprobe.py). Each round's
+            # output re-enters the prior-carrying pool, so a polish that
+            # wandered is discarded, not trusted.
+            for _ in range(2):
+                w3 = cands[jnp.argmax(ranks)]
+                pol = _evidence_polish(E, H, Hinv, w3, gsize)[None]
+                cands = jnp.concatenate([cands, pol])
+                ranks = jnp.concatenate(
+                    [ranks, _rank_evidence(pol, E, Hinv, quad, cell, gsize)])
             return cands[jnp.argmax(ranks)]
 
         corners = jax.lax.cond(score > 0.55, line_dominated,

@@ -77,18 +77,18 @@ def test_corner_pin_subpixel_accuracy():
 
 @pytest.mark.parametrize("nstones,persp,tol_cells", [
     (220, 0.05, 0.20), (250, 0.05, 0.20), (250, 0.30, 0.30),
-    (220, 0.30, 0.85)])
+    (220, 0.30, 0.30)])
 def test_detect_corners_stone_saturated(nstones, persp, tol_cells):
     """Cold-start detection on stone-saturated boards (endgame density).
 
     The 1D comb-profile ranking collapses here (measured >120 px — nearly
     3 cells — at 220 stones before the 2D lattice-evidence ranking). The
-    projective-interior evidence model + the evidence-ascent polish
-    (_evidence_polish) hold every measured pose ≤0.15 cells except
-    220 stones at perspective 0.30 (~0.55 cells on ONE corner — a
-    content-bias limit of the evidence landscape itself: evidence-ascent
-    started AT truth drifts ~10 px there; PERF.md). Tolerances carry ~2×
-    headroom over tools/sat_probe.py measurements.
+    projective-interior evidence model + TWO rounds of evidence-ascent
+    polish (_evidence_polish; the coarse-to-fine spans shrink faster than
+    one pass can travel from a ~0.5-cell seed) hold every measured pose
+    ≤0.15 cells, including the former worst (220 stones / persp 0.30:
+    19.4 → 3.8 px, tools/sat_probe.py). Tolerances carry ~2× headroom
+    over the probe measurements.
     """
     rng = np.random.default_rng(7 + nstones)
     labels = np.zeros((19, 19), np.int8)

@@ -77,6 +77,23 @@ def main(nstones=220, persp=0.30, hw=(1080, 1920), gsize=19):
               f"polish-from-truth walk={walk:6.1f} px "
               f"({walk / cell:.2f} cells)")
 
+    # Rank-level: the full prior-carrying ranking the detector actually
+    # uses, plus where polish seeded on the DETECTED winner lands.
+    E = Ed + Ee
+    qcell = jnp.linalg.norm(quad[1] - quad[0]) / gsize
+    pol_det = bf_auto._evidence_polish(E, H, Hinv, det, gsize)
+    trio = jnp.stack([truth, det, pol_det])
+    rank = bf_auto._rank_evidence(trio, E, Hinv, quad, qcell, gsize)
+    ev3 = bf_auto._lattice_evidence(E, Hinv, trio, gsize)
+    err_pol = float(np.abs(np.asarray(pol_det) - corners).max())
+    print(f"rank(truth)={float(rank[0]):.4f} rank(det)={float(rank[1]):.4f} "
+          f"rank(polish-from-det)={float(rank[2]):.4f}")
+    print(f"prior(truth)={float(rank[0] - ev3[0]):+.4f} "
+          f"prior(det)={float(rank[1] - ev3[1]):+.4f} "
+          f"prior(pol)={float(rank[2] - ev3[2]):+.4f}")
+    print(f"polish-from-det err={err_pol:.1f} px ({err_pol / cell:.2f} cells)"
+          f" ev={float(ev3[2]):.4f}")
+
 
 if __name__ == "__main__":
     args = sys.argv[1:]
