@@ -751,16 +751,23 @@ def _lattice_evidence_rc(E: jnp.ndarray, rc: jnp.ndarray,
     and evidence-ascent from truth drifted 13 px). The projective model
     puts the corner-space optimum back on the true corners.
     """
-    res = E.shape[0]
-    unit = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]],
-                     jnp.float32)
     iu = jnp.arange(gsize, dtype=jnp.float32) / (gsize - 1.0)
     gu, gv = jnp.meshgrid(iu, iu, indexing="xy")
     grid = jnp.stack([gu, gv], axis=-1).reshape(-1, 2)       # (G², 2)
+    return _grid_evidence_rc(E, rc, grid)
+
+
+def _grid_evidence_rc(E: jnp.ndarray, rc: jnp.ndarray,
+                      grid: jnp.ndarray) -> jnp.ndarray:
+    """Mean evidence at arbitrary unit-square points projected through each
+    candidate quad's DLT (the generalization behind _lattice_evidence_rc;
+    infer_gsize also scores the between-teeth midpoint grid with it)."""
+    res = E.shape[0]
+    unit = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]],
+                     jnp.float32)
     P = jax.vmap(
         lambda c: apply_homography(homography_dlt(unit, c), grid))(rc)
-    P = P.reshape(rc.shape[0], gsize, gsize, 2)              # (N, G, G, 2)
-    px = jnp.clip(P[..., 0], 0.0, res - 1.001)
+    px = jnp.clip(P[..., 0], 0.0, res - 1.001)               # (N, M)
     py = jnp.clip(P[..., 1], 0.0, res - 1.001)
     x0 = jnp.floor(px).astype(jnp.int32)
     y0 = jnp.floor(py).astype(jnp.int32)
@@ -769,7 +776,7 @@ def _lattice_evidence_rc(E: jnp.ndarray, rc: jnp.ndarray,
            + E[y0, x0 + 1] * fx * (1 - fy)
            + E[y0 + 1, x0] * (1 - fx) * fy
            + E[y0 + 1, x0 + 1] * fx * fy)
-    ev = val.mean(axis=(1, 2))
+    ev = val.mean(axis=1)
     # A degenerate perturbed quad makes its DLT singular — score it out
     # rather than letting a NaN win an argmax.
     return jnp.where(jnp.isfinite(ev), ev, -1.0)
@@ -1058,6 +1065,106 @@ def estimate_lens_k1(frame, gsize: int = 19,
 
             k1 = _k1_bow_refine(bow_at, k1)
     return k1, gain
+
+
+@functools.partial(jax.jit, static_argnames=("res", "gsize"))
+def _gsize_probe(frame: jnp.ndarray, res: int = cvconf.bf_resolution,
+                 gsize: int = 19):
+    """Full detection at a candidate gsize, scored by a PITCH-SENSITIVE
+    quality: the winner's per-axis lattice-profile energy at its gsize
+    tooth positions MINUS the energy at its between-teeth midpoints.
+
+    2D intersection evidence cannot rank board sizes — both measured
+    impostor families defeat it (720p synth):
+    - DENSE overlays: a g19 probe on a true 9×9 board locks a pitch/3
+      comb (spacing window floor 0.70·n/19 ≈ true_pitch/3.4); ~29% of its
+      361 points ride true LINES and score 0.32 vs the true g9's 0.20
+      (line-scale center-surround responds more mid-line than at
+      crossings), while its cell midpoints hide in wood — so even an
+      intersection-minus-midpoint differential keeps the impostor ahead.
+    - SPARSE overlays: a g9 probe on a true 19×19 board locks the
+      every-other-line comb (2·pitch = 0.111·n, inside the 9-window) with
+      ALL teeth on true lines.
+    The 1D profile differential kills both at once: the dense impostor's
+    teeth fall mostly between profile peaks (tooth mean ≈ peak/3), and
+    the sparse impostor's MIDPOINTS land exactly on the skipped lines
+    (differential ≈ 0), while the true pitch scores peak-minus-wood.
+    Profiles are per-axis max-normalized (_prep_profile), so sizes are
+    directly comparable.
+    """
+    with jax.default_matmul_precision("float32"):
+        gray, quad, score = _detect_prepare(frame, res)
+        corners = _detect_refine(gray, quad, score, gsize, 1)
+        from camkifu_tpu.ops.warp import _inv3
+        H, col_profile, row_profile, _ = _rect_profiles_rect(
+            gray, corners, gsize)
+        n = col_profile.shape[0]
+        # Tooth positions from the corners' ACTUAL rect coordinates (the
+        # 0.08 margin expansion happens in frame space, so the inset is
+        # only approximately static under perspective — at strong keystone
+        # the static approximation drifts teeth off the 1–2 px profile
+        # peaks).
+        rc = apply_homography(_inv3(H), corners)             # (4, 2)
+        idx = jnp.arange(gsize, dtype=jnp.float32) / (gsize - 1.0)
+        midx = (jnp.arange(gsize - 1, dtype=jnp.float32) + 0.5) \
+            / (gsize - 1.0)
+
+        def taps(profile, pos):
+            pos = jnp.clip(pos, 0.0, n - 1.001)
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            w = pos - i0
+            return profile[i0] * (1 - w) + profile[i0 + 1] * w
+
+        q = jnp.float32(0.0)
+        for profile, a0, a1 in ((col_profile, (rc[0, 0] + rc[3, 0]) * 0.5,
+                                 (rc[1, 0] + rc[2, 0]) * 0.5),
+                                (row_profile, (rc[0, 1] + rc[1, 1]) * 0.5,
+                                 (rc[3, 1] + rc[2, 1]) * 0.5)):
+            teeth = a0 + (a1 - a0) * idx
+            mids = a0 + (a1 - a0) * midx
+            # ±2 px tolerance on teeth: the pinned lattice is sub-pixel
+            # but profile peaks are 1–2 px wide; midpoints get a plain
+            # tap (a sparse impostor's midpoints sit exactly ON lines —
+            # widening them would only help it).
+            tooth_e = jnp.stack(
+                [taps(profile, teeth + d) for d in (-2.0, -1.0, 0.0,
+                                                    1.0, 2.0)]).max(axis=0)
+            q = q + tooth_e.mean() - taps(profile, mids).mean()
+    return corners, score, 0.5 * q
+
+
+def infer_gsize(frame, candidates: tuple[int, ...] = (9, 13, 19),
+                res: int = cvconf.bf_resolution) -> tuple[int, dict]:
+    """Infer the board size from one frame. Beyond parity: the reference
+    hardcodes gsize = 19 (SURVEY §2.2 guiconf — "rebuild should
+    parameterize but default to 19"); this makes ``--gsize auto`` work.
+
+    Runs the full detector once per candidate size and compares each
+    winner's pitch-sensitive lattice quality (_gsize_probe: intersection
+    evidence minus cell-midpoint evidence, per-point normalized so sizes
+    are directly comparable). Wrong sizes are doubly handicapped: the comb
+    family's spacing window (0.70·n/g … 1.02·n/(g−1), _comb_matrices)
+    cannot express a same-pitch subgrid of a denser board (a centered 9×9
+    window of a 19×19 lattice needs spacing n/18 ≈ 0.056·n, below the
+    9-comb's 0.078·n floor; polish moves corners ≤2 cells, so no probe can
+    shrink onto a commensurate sub-lattice), and whatever wrong-pitch
+    lattice the probe does lock onto loses the tooth-minus-midpoint
+    differential. Measured (720p synth, clean empty-ish boards at 9/13/19
+    + a hard-mode 40-stone midgame): the true size wins every config with
+    ≥1.9× margin over the best wrong size.
+
+    Returns (gsize, qualities) where qualities maps each candidate to its
+    quality (−1.0 when detection failed outright); gsize is 0 when no
+    candidate found a board at all — callers choose their own default.
+    """
+    frame = jnp.asarray(frame)
+    quals: dict[int, float] = {}
+    for g in candidates:
+        _, score, q = _gsize_probe(frame, res=res, gsize=int(g))
+        ok = float(score) >= 0.1 and np.isfinite(float(q))
+        quals[int(g)] = float(q) if ok else -1.0
+    best = max(quals, key=lambda g: quals[g])
+    return (best if quals[best] > 0.0 else 0), quals
 
 
 def _k1_sweep(q_at, grid) -> tuple[float, float]:

@@ -43,8 +43,10 @@ def get_argparser() -> argparse.ArgumentParser:
                          ">1 enables segmented parallel decode")
     ap.add_argument("--nogui", action="store_true",
                     help="headless: process the whole video, save the SGF, exit")
-    ap.add_argument("--gsize", type=int, default=None,
-                    help="board size (default 19; 9 and 13 supported)")
+    ap.add_argument("--gsize", default=None,
+                    choices=("9", "13", "19", "auto"),
+                    help="board size (default 19; 9 and 13 supported; "
+                         "'auto' infers it from the footage)")
     ap.add_argument("--stats", default=None, metavar="PATH",
                     help="write structured per-batch stats (JSONL) here")
     return ap
@@ -60,10 +62,41 @@ def _resolve(registry, name, default):
                      f"{[c.label for c in registry]}")
 
 
+def _infer_gsize(args) -> int:
+    """Resolve ``--gsize auto``: probe the source once before the game
+    model is built (board size shapes rules, kifu SZ, and every finder, so
+    it must be known up front). Detection-based — works with any finder
+    selection afterwards; falls back to 19 with a warning when no board is
+    found in the probe frames."""
+    from camkifu_tpu.board.bf_auto import infer_gsize
+    from camkifu_tpu.core.capture import open_capture
+
+    cap = open_capture(args.video, tuple(args.bounds))
+    try:
+        frames, _ = cap.read_batch(8)
+    finally:
+        cap.release()
+    if len(frames) == 0:
+        print("gsize auto: no frames readable — assuming 19",
+              file=sys.stderr)
+        return 19
+    g, quals = infer_gsize(frames[len(frames) // 2])
+    if g == 0:
+        print(f"gsize auto: no board found in probe frame ({quals}) — "
+              f"assuming 19", file=sys.stderr)
+        return 19
+    print(f"gsize auto: {g} (evidence {quals})")
+    return g
+
+
 def main(argv=None) -> int:
     args = get_argparser().parse_args(argv)
     from camkifu_tpu.utils import jaxcache
     jaxcache.enable()
+    if args.gsize == "auto":
+        args.gsize = _infer_gsize(args)
+    elif args.gsize is not None:
+        args.gsize = int(args.gsize)
 
     bfs, sfs = cvconf.bfinders(), cvconf.sfinders()
     bf_class = _resolve(bfs, args.bf, bfs[0])

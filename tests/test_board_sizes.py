@@ -99,13 +99,61 @@ def test_ckmain_headless_13x13(tmp_path):
         [(m.color, m.row, m.col) for m in moves]
 
 
-@pytest.mark.parametrize("gsize", [9, 13])
-def test_auto_detection_other_sizes(gsize):
+@pytest.mark.parametrize("true_g", [9, 13, 19])
+def test_infer_gsize(true_g):
+    """--gsize auto: the true size's lattice evidence beats the wrong-size
+    probes (the comb spacing window cannot express commensurate sub-lattice
+    impostors — see bf_auto.infer_gsize)."""
     from camkifu_tpu.board import bf_auto
 
-    labels = np.zeros((gsize, gsize), np.int8)
-    labels[1, 1] = 1
-    labels[gsize - 2, gsize - 2] = 2
-    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280))
-    det, score = bf_auto.detect_corners(jnp.asarray(frame), gsize=gsize)
-    assert np.abs(np.asarray(det) - corners).max() < 14.0
+    labels = np.zeros((true_g, true_g), np.int8)
+    labels[2, 2] = 1
+    labels[true_g - 3, true_g - 3] = 2
+    frame, _ = synth.render_frame(labels, frame_hw=(720, 1280))
+    g, quals = bf_auto.infer_gsize(jnp.asarray(frame))
+    assert g == true_g, quals
+    others = [q for k, q in quals.items() if k != true_g]
+    assert quals[true_g] > 1.1 * max(others), quals
+
+
+def test_ckmain_gsize_auto_plumbing(tmp_path, monkeypatch):
+    """--gsize auto resolves BEFORE the game model is built and threads the
+    inferred size through controller, finders, and SGF SZ (inference itself
+    is covered by test_infer_gsize; here it is pinned to 13)."""
+    import cv2
+
+    from camkifu_tpu import ckmain
+    from camkifu_tpu.board import bf_auto
+
+    gsize = 13
+    moves = synth.sample_moves(3, gsize=gsize, seed=9)
+    corners = synth.default_corners((360, 640))
+    frames = [f for f, _ in synth.render_game(
+        moves, frames_per_move=2, corners=corners, frame_hw=(360, 640),
+        gsize=gsize, empty_leadin=1)]
+    path = str(tmp_path / "ga.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (640, 360))
+    for f in frames:
+        vw.write(f[:, :, ::-1])
+    vw.release()
+
+    seen = {}
+
+    def fake_infer(frame, *a, **kw):
+        seen["shape"] = tuple(frame.shape)
+        return 13, {13: 0.5}
+
+    monkeypatch.setattr(bf_auto, "infer_gsize", fake_infer)
+    sgf_path = str(tmp_path / "ga.sgf")
+    corner_arg = ",".join(str(round(float(v), 1))
+                          for v in corners.reshape(-1))
+    rc = ckmain.main(["-v", path, "--sgf", sgf_path, "--nogui",
+                      "--sf", "clustering", "--corners", corner_arg,
+                      "--gsize", "auto", "--batch", "8"])
+    assert rc == 0
+    assert seen["shape"] == (360, 640, 3)      # probe frame reached it
+    k = Kifu.load(sgf_path)
+    assert k.gsize == 13
+    assert [(m.color, m.row, m.col) for m in k.moves()] == \
+        [(m.color, m.row, m.col) for m in moves]
