@@ -140,7 +140,7 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
             # stable homography (SURVEY §2.1). Handheld per-frame
             # re-detection is the (B, 4, 2) corners path.
             from camkifu_tpu.board import bf_auto
-            corners_dev = bf_auto.detect_batch_stable(fb)
+            corners_dev = bf_auto.detect_batch_stable(fb, gsize=gsize)
         if use_meta:
             from camkifu_tpu.stone import sf_meta
             if state is None:
@@ -159,7 +159,8 @@ def run_pipeline(frames_iter, corners: np.ndarray | None,
                 state, fb, corners_dev, neural_params=neural_params,
                 valid_count=(jnp.int32(n) if n < fb.shape[0] else None))
         else:
-            labels, conf = pipeline.read_board_batch(fb, corners_dev)
+            labels, conf = pipeline.read_board_batch(fb, corners_dev,
+                                                     gsize=gsize)
         labels = np.asarray(labels)
         for i in range(n):
             extractor.advance(labels[i])
@@ -214,6 +215,7 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
     """
     from camkifu_tpu.utils import synth
 
+    gsize = guiconf.gsize
     if video_spec.startswith("synth:"):
         # synth:N[:seed][:hard|real|gauntlet][:flicker][:caps][:palette] —
         # rendered game with known
@@ -310,13 +312,19 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
             return iter_video_frames(video_spec, decoders=decoders)
         if ref_sgf is None:
             raise ValueError("a reference SGF is required for video input")
-        ref_moves = Kifu.load(ref_sgf).moves()
+        ref_kifu = Kifu.load(ref_sgf)
+        ref_moves = ref_kifu.moves()
+        # The reference SGF's SZ property is the authoritative board size
+        # for real footage (synth specs always render the default 19);
+        # hardcoding 19 here would silently mis-grid a 9/13 video.
+        gsize = ref_kifu.gsize
 
     checker = KifuChecker(ref_moves)
     report: dict = {}
     if oracle in ("tpu", "both"):
         extractor, stats = run_pipeline(frames_factory(), corners,
-                                        batch=batch, use_meta=use_meta,
+                                        batch=batch, gsize=gsize,
+                                        use_meta=use_meta,
                                         use_neural=use_neural)
         report = checker.report(extractor.moves)
         report.update(stats)
@@ -325,7 +333,7 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
     if oracle in ("cv2", "both"):
         from camkifu_tpu import oracle_cv2
         cv2_ex, cv2_stats = oracle_cv2.run_pipeline_cv2(
-            frames_factory(), corners)
+            frames_factory(), corners, gsize=gsize)
         cv2_rep = checker.report(cv2_ex.moves)
         if oracle == "cv2":
             report = cv2_rep

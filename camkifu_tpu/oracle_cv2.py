@@ -249,7 +249,7 @@ def run_pipeline_cv2(frames_iter, corners: np.ndarray | None,
     for frame in frames_iter:
         n_frames += 1
         if corners is None:
-            corners = detect_corners_cv2(frame)
+            corners = detect_corners_cv2(frame, gsize=gsize)
             if corners is None:
                 continue
         # Agitation gate (frame differencing, SURVEY §3.3): skip readings
