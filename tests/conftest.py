@@ -23,28 +23,39 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _jax_memory_guard():
-    """Per-module RSS log + a high-water cache drop (diagnosis aid for the
-    full-suite XLA segfault, see NEXT.md).
+#: Drop compiled executables when the process's memory-map count crosses
+#: this line. Linux caps a process at vm.max_map_count mappings (65,530
+#: default); every XLA:CPU executable holds several anonymous JIT-code
+#: mappings (r-xp + r--p + rw-p) until it is destroyed, so a long
+#: single-process run accumulates mappings monotonically and the first
+#: mmap past the cap segfaults LLVM's JIT. 30k leaves >30k headroom for
+#: the heaviest single module.
+_MAP_GUARD = 30_000
 
-    The full single-process suite reproducibly segfaults inside XLA's CPU
-    compile (backend_compile_and_load) at test_tracking's first compile —
-    three times at the exact same position, once inside a persistent-cache
-    read. NOT memory: RSS measured 6.6 GB at the crash (this fixture's
-    log), and every subset tried — the module alone, lens+e2e+tracking,
-    parallel+tracking, cache-enabled standalone repro — passes. The
-    trigger is some accumulated in-process XLA state; bisection notes in
-    NEXT.md. The RSS log (CAMKIFU_RSS_LOG=path) and the >20 GB
-    clear_caches() stay as cheap instrumentation/insurance, not as the
-    fix.
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:        # non-Linux: no cap to guard against
+        return 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _jax_map_guard():
+    """Prevent the full-suite XLA:CPU segfault: vm.max_map_count exhaustion.
+
+    Root-caused (r3): the single-process suite segfaulted inside XLA's
+    backend_compile_and_load whenever enough modules ran first — module
+    combination irrelevant, RSS only 6.6 GB. The real resource was memory
+    MAPPINGS: watched live, the crashing pytest climbed to 65,332 maps
+    (limit 65,530) and died at the next compile. Each compiled CPU
+    executable keeps ~3 anonymous JIT mappings alive; ~250 tests' worth
+    crosses the cap. jax.clear_caches() releases them (measured: one
+    module's 1317 maps -> 784 after clearing), so capping the count here
+    bounds the whole run. Cross-module jit cache reuse is preserved until
+    the threshold actually trips (~1-2 times per full suite).
     """
-    yield
-    with open("/proc/self/statm") as f:
-        rss_gb = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
-    log = os.environ.get("CAMKIFU_RSS_LOG")
-    if log:
-        with open(log, "a") as f:
-            f.write(f"{rss_gb:.2f}\n")
-    if rss_gb > 20.0:
+    if _map_count() > _MAP_GUARD:
         jax.clear_caches()
+    yield
