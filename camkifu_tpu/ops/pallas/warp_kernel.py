@@ -145,7 +145,7 @@ def warp_to_canonical_pallas(frame: jnp.ndarray, corners: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # frame in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],      # frame in HBM
         out_specs=pl.BlockSpec((TILE, size, 3), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
