@@ -142,7 +142,8 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                  motion_blur: tuple[float, float] | None = None,
                  hand: tuple[float, float, float] | None = None,
                  palette: str = "kaya",
-                 lens_k1: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+                 lens_k1: float = 0.0,
+                 white_balance: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Render a camera frame of the given board state.
 
     light_gradient: relative brightness falloff corner-to-corner (0.3 =
@@ -251,6 +252,13 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
         frame = np.clip(frame.astype(np.float32)
                         * (1.0 - vignette * r2)[..., None],
                         0, 255).astype(np.uint8)
+    if white_balance:
+        # Miscalibrated camera WB: warm (+) boosts R and cuts B, cool (−)
+        # the reverse — shifts every chroma statistic the detectors use.
+        f = frame.astype(np.float32)
+        f[..., 0] *= 1.0 + white_balance
+        f[..., 2] *= 1.0 - white_balance
+        frame = np.clip(f, 0, 255).astype(np.uint8)
     if noise:
         frame = np.clip(frame.astype(np.float32)
                         + rng.normal(0, noise, frame.shape), 0, 255
@@ -377,7 +385,7 @@ def render_game(moves: list[Move], frames_per_move=3,
                 gsize: int = guiconf.gsize, seed: int = 0,
                 empty_leadin: int = 2, hand_frames: int = 0,
                 flicker: float = 0.0, removal_lag: int = 0,
-                corners_fn=None, **frame_kwargs):
+                corners_fn=None, wb_drift: float = 0.0, **frame_kwargs):
     """Yield (frame, state_labels) for a whole game: ``empty_leadin`` frames of
     the empty board, then ``frames_per_move`` frames after each move. Extra
     kwargs (stone_jitter, light_gradient, blur_sigma, shadow, wood_texture,
@@ -429,17 +437,30 @@ def render_game(moves: list[Move], frames_per_move=3,
         return np.asarray(corners_fn(idx), np.float32)
 
     rng_f = np.random.default_rng(seed + 940229)
-    gain = 1.0
+    rng_wb = np.random.default_rng(seed + 615243)   # own stream: adding WB
+    gain = 1.0                                      # must not move flicker
+    wb = 0.0
 
     def expose(frame, hand_active):
-        nonlocal gain
-        if not flicker:
+        """Camera auto-pipeline per frame: AE gain hunting (``flicker``)
+        and auto-white-balance hunting (``wb_drift`` — a random walk of
+        the R/B gains within ±wb_drift, the slow color-temperature
+        breathing real cameras show as the scene content changes)."""
+        nonlocal gain, wb
+        if wb_drift:
+            wb += float(rng_wb.normal(0.0, 0.25 * wb_drift))
+            wb = float(np.clip(wb, -wb_drift, wb_drift))
+        if not flicker and not wb_drift:
             return frame
-        target = 1.0 - 0.8 * flicker if hand_active else 1.0
-        gain += 0.35 * (target - gain) + rng_f.normal(0.0, 0.4 * flicker)
-        gain = float(np.clip(gain, 1.0 - flicker, 1.0 + flicker))
-        return np.clip(frame.astype(np.float32) * gain, 0, 255) \
-            .astype(np.uint8)
+        if flicker:
+            target = 1.0 - 0.8 * flicker if hand_active else 1.0
+            gain += 0.35 * (target - gain) + rng_f.normal(0.0, 0.4 * flicker)
+            gain = float(np.clip(gain, 1.0 - flicker, 1.0 + flicker))
+        f = frame.astype(np.float32) * gain
+        if wb_drift:
+            f[..., 0] *= 1.0 + wb
+            f[..., 2] *= 1.0 - wb
+        return np.clip(f, 0, 255).astype(np.uint8)
 
     def to_frame_xy(row, col, idx):
         Mi = cv2.getPerspectiveTransform(
@@ -573,8 +594,9 @@ def gauntlet_scenario(n_moves: int = 19, seed: int = 11,
     callable yielding the footage. The scenario stacks a capture-rich game
     with 60-frame physical removal lag, a handheld drifting + slowly
     rotating + slowly zooming camera, a mid-game camera BUMP landing while
-    captured stones are still pending removal, auto-exposure flicker, the
-    full realism pass (grain, vignette, defocus, gradient, shadow, jitter,
+    captured stones are still pending removal, auto-exposure flicker,
+    auto-white-balance hunting (±8% R/B gain random walk), the full
+    realism pass (grain, vignette, defocus, gradient, shadow, jitter,
     animated hand, walnut palette), and an mp4 encode round-trip.
 
     Reference parity: the reference was exercised on real recorded games
@@ -616,7 +638,7 @@ def gauntlet_scenario(n_moves: int = 19, seed: int = 11,
         it = (f for f, _ in render_game(
             moves, frames_per_move=fpm_list, frame_hw=frame_hw, seed=seed,
             empty_leadin=leadin, corners_fn=cam, gsize=gsize,
-            hand_frames=2, flicker=0.12, removal_lag=60,
+            hand_frames=2, flicker=0.12, wb_drift=0.08, removal_lag=60,
             stone_jitter=0.07, light_gradient=0.3, blur_sigma=1.2,
             shadow=0.18, wood_texture=0.10, vignette=0.22,
             palette="walnut"))

@@ -83,6 +83,32 @@ def test_classification_under_soft_shadow():
     assert agreement == 1.0, agreement
 
 
+@pytest.mark.parametrize("wb", [0.25, -0.25])
+def test_classification_under_white_balance_shift(wb):
+    """A miscalibrated camera WB shifts every chroma statistic; the
+    disc − annulus contrast classification must not care (measured: 100%
+    at ±25% R/B gain shifts, both warm and cool)."""
+    labels = board()
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280),
+                                        white_balance=wb)
+    out, _ = pipeline.read_board_batch(jnp.asarray(frame[None]),
+                                       jnp.asarray(corners))
+    agreement = (np.asarray(out[0]) == labels).mean()
+    assert agreement == 1.0, agreement
+
+
+@pytest.mark.parametrize("wb", [0.25, -0.25])
+def test_board_detection_under_white_balance_shift(wb):
+    """Detection leans on an R−B chroma edge channel (walnut slab/table
+    separation) — a cool WB shift weakens exactly that signal. Corner
+    error must stay inside the zone margin."""
+    labels = board(40, seed=1)
+    frame, corners = synth.render_frame(labels, frame_hw=(720, 1280),
+                                        white_balance=wb)
+    det, score = bf_auto.detect_corners(jnp.asarray(frame))
+    assert np.abs(np.asarray(det) - corners).max() < 11.0
+
+
 def test_board_detection_under_defocus_and_shadow():
     labels = board(60, seed=2)
     frame, corners = synth.render_frame(labels, frame_hw=(720, 1280),
