@@ -439,7 +439,10 @@ def _bench_main() -> None:
     # the batch API (batched stage 1 incl. the batch-grid Pallas edge
     # kernel + host-mapped per-frame refine; see detect_batch's docstring,
     # VERDICT r2 item 7).
-    redet_n = 8
+    # Batch 32 (not 8): every frame is still fully redetected, but the
+    # router's one host sync per batch amortizes over more frames — the
+    # same pipeline-batch reasoning as the classify configs.
+    redet_n = 32
     det_s = _timeit(lambda: bf_auto.detect_batch(f1080_b[:redet_n])[0],
                     fence, reps=3)
     c4_full_redetect_fps = redet_n / det_s

@@ -48,7 +48,12 @@ def get_argparser() -> argparse.ArgumentParser:
                     help="board size (default 19; 9 and 13 supported; "
                          "'auto' infers it from the footage)")
     ap.add_argument("--stats", default=None, metavar="PATH",
-                    help="write structured per-batch stats (JSONL) here")
+                    help="write structured per-batch stats (JSONL) here; "
+                         "live mode adds frame-arrival latency per batch")
+    ap.add_argument("--live-wait", type=float, default=None, metavar="S",
+                    help="live mode: max seconds to wait for a full frame "
+                         "batch before dispatching a partial one (lower = "
+                         "lower frame→SGF latency, more padded compute)")
     return ap
 
 
@@ -127,7 +132,7 @@ def main_headless(args, bf_class, sf_class, corners) -> int:
     vm = VManagerSeq(controller, video=args.video, bounds=tuple(args.bounds),
                      bf_class=bf_class, sf_class=sf_class, batch=args.batch,
                      stats_path=args.stats, initial_corners=corners,
-                     decoders=args.decoders)
+                     decoders=args.decoders, live_wait_s=args.live_wait)
     vm.instantiate_finders()
     vm.run()
     moves = controller.kifu.moves()
@@ -164,7 +169,7 @@ def main_gui(args, bf_class, sf_class, corners) -> int:
                         bounds=tuple(args.bounds), bf_class=bf_class,
                         sf_class=sf_class, batch=args.batch,
                         stats_path=args.stats, initial_corners=corners,
-                        decoders=args.decoders)
+                        decoders=args.decoders, live_wait_s=args.live_wait)
     ui = VUI(root, controller, vmanager)
     vmanager.vision_on()
     ui.mainloop()

@@ -332,18 +332,36 @@ class ParallelFileCapture(CaptureBase):
 
 class LiveCapture(CaptureBase):
     """Live mode: a grabber thread keeps only the latest frames (ring buffer,
-    latest-wins — the reference's always-latest semantics for webcams)."""
+    latest-wins — the reference's always-latest semantics for webcams).
+
+    ``camera`` injects any object with the cv2.VideoCapture read interface
+    (isOpened/read/release) — a paced mock for latency tests and demos.
+    ``max_wait_s`` bounds how long a read waits for a FULL batch before
+    dispatching a partial one: it is live mode's latency/throughput knob
+    (frame-arrival → SGF-append latency includes this wait whenever the
+    pipeline outruns the camera, which a TPU always does).
+
+    Every delivered frame's arrival time (``time.perf_counter()`` at grab)
+    rides along in ``last_batch_arrivals``, aligned with the last
+    ``read_batch`` result — the runtime uses it for the end-to-end latency
+    metadata.
+    """
 
     def __init__(self, cam_index: int = 0,
-                 bounds: tuple[float, float] = (0.0, 1.0), ring: int = 64):
-        import cv2
+                 bounds: tuple[float, float] = (0.0, 1.0), ring: int = 64,
+                 camera=None, max_wait_s: float = 2.0):
+        if camera is None:
+            import cv2
 
-        self.cap = cv2.VideoCapture(cam_index)
+            camera = cv2.VideoCapture(cam_index)
+        self.cap = camera
         if not self.cap.isOpened():
             raise RuntimeError(f"cannot open camera {cam_index}")
         self.bounds = bounds
-        self._ring: list[np.ndarray] = []
+        self.max_wait_s = max_wait_s
+        self._ring: list[tuple[np.ndarray, float]] = []
         self._ring_max = ring
+        self.last_batch_arrivals: np.ndarray | None = None
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._grab_loop, daemon=True)
@@ -357,31 +375,37 @@ class LiveCapture(CaptureBase):
                 continue
             frame = _crop(frame[:, :, ::-1].copy(), self.bounds)
             with self._lock:
-                self._ring.append(frame)
+                self._ring.append((frame, time.perf_counter()))
                 if len(self._ring) > self._ring_max:
                     del self._ring[:len(self._ring) - self._ring_max]
 
+    def _take(self, n: int):
+        frames = [f for f, _ in self._ring[-n:]]
+        self.last_batch_arrivals = np.array(
+            [t for _, t in self._ring[-n:]], np.float64)
+        self._ring.clear()
+        return np.stack(frames), False
+
     def read_batch(self, n: int):
-        # Wait (bounded) for a FULL batch: duplicates of a sparse ring carry
-        # no information, and waiting only happens when the pipeline already
-        # outruns the camera. On timeout return whatever arrived (consumers
-        # pad + mask the tail). The wait target is clamped to the ring
-        # capacity — a batch larger than the ring could otherwise never be
-        # satisfied and every read would eat the full timeout.
+        # Wait (bounded by max_wait_s) for a FULL batch: duplicates of a
+        # sparse ring carry no information, and waiting only happens when
+        # the pipeline already outruns the camera. On timeout return
+        # whatever arrived (consumers pad + mask the tail) — dispatching
+        # the partial batch is what bounds frame→SGF latency. The wait
+        # target is clamped to the ring capacity — a batch larger than the
+        # ring could otherwise never be satisfied and every read would eat
+        # the full timeout.
         target = min(n, self._ring_max)
-        deadline = time.time() + 2.0
+        deadline = time.time() + self.max_wait_s
         while time.time() < deadline:
             with self._lock:
                 if len(self._ring) >= target:
-                    frames = self._ring[-n:]
-                    self._ring.clear()
-                    return np.stack(frames), False
+                    return self._take(n)
             time.sleep(0.002)
         with self._lock:
             if self._ring:
-                frames = self._ring[-n:]
-                self._ring.clear()
-                return np.stack(frames), False
+                return self._take(n)
+        self.last_batch_arrivals = None
         return np.zeros((0, 1, 1, 3), np.uint8), False
 
     @property
@@ -423,13 +447,17 @@ class ArrayCapture(CaptureBase):
         return self.pos / len(self.frames) if self.frames else 0.0
 
 
-def open_capture(video, bounds=(0.0, 1.0), decoders: int = 1) -> CaptureBase:
+def open_capture(video, bounds=(0.0, 1.0), decoders: int = 1,
+                 live_wait_s: float | None = None) -> CaptureBase:
     """The reference's ``-v`` semantics: an integer (or digit string) is a
     camera index, anything else a file path. ``decoders`` > 1 enables the
-    multi-worker film decoder (ParallelFileCapture)."""
+    multi-worker film decoder (ParallelFileCapture); ``live_wait_s`` is
+    live mode's batch-fill wait bound (the latency/throughput knob)."""
     if isinstance(video, (list, np.ndarray)):
         return ArrayCapture(video, bounds)
     if isinstance(video, int) or (isinstance(video, str) and video.isdigit()):
+        if live_wait_s is not None:
+            return LiveCapture(int(video), bounds, max_wait_s=live_wait_s)
         return LiveCapture(int(video), bounds)
     if decoders > 1:
         try:

@@ -39,6 +39,10 @@ class DeviceFeeder:
             done = False
             while not done and not self._stop.is_set():
                 frames, done = self.capture.read_batch(self.batch)
+                # Arrival timestamps (live captures only) must be snapshotted
+                # HERE, before the next read_batch overwrites them — the
+                # feeder runs a batch ahead of the consumer.
+                arrivals = getattr(self.capture, "last_batch_arrivals", None)
                 frames, n = pad_batch(frames, self.batch)
                 if n:
                     # device_put returns immediately; the DMA overlaps with
@@ -48,7 +52,7 @@ class DeviceFeeder:
                     # dispatch hits the same jit specialization (live rings
                     # vary in occupancy).
                     dev = jax.device_put(jnp.asarray(frames))
-                    self._q.put((dev, n, done, frames[n - 1]))
+                    self._q.put((dev, n, done, frames[n - 1], arrivals))
                 elif done:
                     break
         except BaseException as exc:       # noqa: BLE001 — relayed, not eaten

@@ -16,6 +16,7 @@ capture wrapper's film/live disciplines live in core.capture.
 from __future__ import annotations
 
 import threading
+import time
 
 import numpy as np
 
@@ -29,7 +30,8 @@ class VManagerBase:
                  batch: int = cvconf.frame_batch,
                  stats_path: str | None = None,
                  initial_corners=None,
-                 decoders: int = 1):
+                 decoders: int = 1,
+                 live_wait_s: float | None = None):
         self.controller = controller
         self.video = video
         self.bounds = bounds
@@ -47,6 +49,7 @@ class VManagerBase:
         self.initial_corners = None if initial_corners is None \
             else np.asarray(initial_corners, np.float32)
         self.decoders = decoders
+        self.live_wait_s = live_wait_s
         self._bf_class = bf_class or cvconf.bfinders()[0]
         self._sf_class = sf_class or cvconf.sfinders()[0]
         if controller is not None:
@@ -58,7 +61,8 @@ class VManagerBase:
     def init_capture(self) -> None:
         if self.capture is None:
             self.capture = open_capture(self.video, self.bounds,
-                                        decoders=self.decoders)
+                                        decoders=self.decoders,
+                                        live_wait_s=self.live_wait_s)
 
     def instantiate_finders(self) -> None:
         self.board_finder = self._bf_class(self)
@@ -217,7 +221,8 @@ class VManager(VManagerBase):
 
         feeder = DeviceFeeder(self.capture, self.batch)
         try:
-            for frames, n, done, last_host in self._relay_errors(feeder):
+            for frames, n, done, last_host, arrivals in \
+                    self._relay_errors(feeder):
                 if stop.is_set():
                     break
                 bf, sf = self.board_finder, self.stones_finder
@@ -233,7 +238,18 @@ class VManager(VManagerBase):
                     self.error_to_gui(f"{type(exc).__name__}: {exc}")
                 bf._count(n)
                 sf._count(n)
-                self.stats.record(n, **sf.metadata)
+                meta = dict(sf.metadata)
+                if arrivals is not None and len(arrivals):
+                    # Live-mode pipeline latency: newest/oldest frame
+                    # arrival → this batch fully processed (finders done,
+                    # any resulting moves piped). SURVEY §2.1 live
+                    # semantics; VERDICT r3 item 7.
+                    now = time.perf_counter()
+                    meta["latency_newest_ms"] = round(
+                        (now - float(arrivals[-1])) * 1e3, 1)
+                    meta["latency_oldest_ms"] = round(
+                        (now - float(arrivals[0])) * 1e3, 1)
+                self.stats.record(n, **meta)
         finally:
             feeder.close()
             stop.set()

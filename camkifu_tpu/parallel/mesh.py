@@ -26,27 +26,23 @@ def stream_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("stream"))
 
 
-@functools.partial(jax.jit, static_argnames=("gsize", "zone"),
-                   donate_argnums=())
-def _read_all_streams(frames, corners, gsize, zone):
+def _read_streams_local(frames, corners, *, gsize, zone):
     # Each stream's corners are FIXED, so warp per stream with the fixed-
     # corner path (indices shared across the stream's frames) — routing the
     # repeated corners through the generic per-frame chunked warp paid its
     # median/subpixel machinery for nothing and dominated c5. The classify
     # then runs on the flat (streams·B) batch: one flat batch utilizes the
-    # chip better than a vmap-of-batches (measured ~4× on c5). The leading
-    # (sharded) stream axis is only split, never mixed → no cross-chip
-    # traffic.
+    # chip better than a vmap-of-batches (measured ~4× on c5).
     from camkifu_tpu.ops.warp import warp_batch_fixed
     from camkifu_tpu.stone import sf_clustering
 
     with jax.default_matmul_precision("float32"):
         s, b = frames.shape[0], frames.shape[1]
         scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
-        # lax.map (sequential over the 8 streams), NOT vmap: a vmapped warp
-        # batches 8 distinct gather-index sets, which falls off the TPU's
-        # batched-index gather cliff; each map step's gather shares its
-        # indices across the stream's frames and vectorizes fully.
+        # lax.map (sequential over the local streams), NOT vmap: a vmapped
+        # warp batches distinct gather-index sets, which falls off the
+        # TPU's batched-index gather cliff; each map step's gather shares
+        # its indices across the stream's frames and vectorizes fully.
         canon = jax.lax.map(
             lambda fc: warp_batch_fixed(fc[0], fc[1], gsize, zone),
             (frames, corners)) * scale
@@ -57,6 +53,30 @@ def _read_all_streams(frames, corners, gsize, zone):
         return labels.reshape(s, b, g, g), conf.reshape(s, b, g, g)
 
 
+@functools.partial(jax.jit, static_argnames=("gsize", "zone"),
+                   donate_argnums=())
+def _read_all_streams(frames, corners, gsize, zone):
+    """Single-device c5 entry (bench): all streams local, no mesh."""
+    return _read_streams_local(frames, corners, gsize=gsize, zone=zone)
+
+
+#: (mesh, gsize, zone) → jitted shard_map of _read_streams_local, memoized
+#: for the same reason as _track_fns below.
+_read_fns: dict = {}
+
+
+def _read_fn(mesh: Mesh, gsize: int, zone: int):
+    key = (mesh, gsize, zone)
+    fn = _read_fns.get(key)
+    if fn is None:
+        spec = P("stream")
+        fn = _read_fns[key] = jax.jit(jax.shard_map(
+            functools.partial(_read_streams_local, gsize=gsize, zone=zone),
+            mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+            check_vma=False))
+    return fn
+
+
 def multistream_read(mesh: Mesh, frames: jnp.ndarray, corners: jnp.ndarray,
                      gsize: int = guiconf.gsize,
                      zone: int = cvconf.zone_size):
@@ -65,12 +85,19 @@ def multistream_read(mesh: Mesh, frames: jnp.ndarray, corners: jnp.ndarray,
     frames: (n_streams, B, H, W, 3) uint8; corners: (n_streams, 4, 2).
     Returns (labels (n_streams, B, g, g), confidence (n_streams, B, g, g)),
     sharded the same way (results stay on their chip until fetched).
+
+    shard_map, not plain jit: the local body lax.maps over streams, and
+    under plain jit the SPMD partitioner cannot keep a sequential loop over
+    a sharded axis device-local — it inserted an ALL-GATHER of the whole
+    frame tensor (caught by the dryrun's compiled-HLO zero-collectives
+    assertion, r4). shard_map makes each chip loop over its LOCAL streams
+    only, which is the design doc/SCALING.md claims.
     """
     sh = stream_sharding(mesh)
     frames = jax.device_put(frames, sh)
     corners = jax.device_put(corners, sh)
     with mesh:
-        return _read_all_streams(frames, corners, gsize, zone)
+        return _read_fn(mesh, gsize, zone)(frames, corners)
 
 
 @functools.partial(jax.jit, static_argnames=("gsize", "zone"))

@@ -56,6 +56,7 @@ def render_canonical(labels: np.ndarray, zone: int = 24,
                      stone_jitter: float = 0.0,
                      jitter_key: int = 0,
                      wood_texture: float = 0.0,
+                     glare: float = 0.0,
                      palette: str = "kaya") -> np.ndarray:
     """Draw a top-down goban: labels (g, g) int (0=E, 1=B, 2=W) → RGB uint8.
 
@@ -90,6 +91,7 @@ def render_canonical(labels: np.ndarray, zone: int = 24,
                 cv2.circle(img, (int((c + .5) * zone), int((r + .5) * zone)),
                            max(2, zone // 10), line, -1, cv2.LINE_AA)
     radius = int(zone * 0.47)
+    glare_canvas = np.zeros(img.shape[:2], np.float32) if glare else None
     for r in range(g):
         for c in range(g):
             if labels[r, c] == 0:
@@ -108,6 +110,26 @@ def render_canonical(labels: np.ndarray, zone: int = 24,
             hl = tuple(min(255, v + 35) for v in color)
             cv2.circle(img, (center[0] - radius // 3, center[1] - radius // 3),
                        max(1, radius // 3), hl, -1, cv2.LINE_AA)
+            if glare:
+                # Overhead-light glare on glossy stone tops: a SATURATED
+                # (clipped-to-white) elliptical highlight toward the light,
+                # strongest on convex polished stones — the hazard is a
+                # black stone whose glare cap reads as white pixels.
+                # Deterministic per intersection (the light doesn't move).
+                grng = np.random.default_rng((0x61A2E, jitter_key, r, c))
+                amp = glare * float(grng.uniform(0.6, 1.0))
+                ax = max(2, int(radius * (0.30 + 0.15 * grng.uniform())))
+                ay = max(1, int(ax * 0.6))
+                gc = (center[0] - int(radius * 0.38),
+                      center[1] - int(radius * 0.38))
+                cv2.ellipse(glare_canvas, gc, (ax, ay), -30.0, 0, 360,
+                            amp, -1, cv2.LINE_AA)
+    if glare_canvas is not None:
+        glare_canvas = cv2.GaussianBlur(glare_canvas, (0, 0),
+                                        max(1.0, radius * 0.18))
+        img = np.clip(img.astype(np.float32)
+                      + 255.0 * glare_canvas[..., None], 0, 255
+                      ).astype(np.uint8)
     return img
 
 
@@ -143,7 +165,11 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                  hand: tuple[float, float, float] | None = None,
                  palette: str = "kaya",
                  lens_k1: float = 0.0,
-                 white_balance: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+                 white_balance: float = 0.0,
+                 glare: float = 0.0,
+                 clutter: int = 0,
+                 rolling_shutter: tuple[float, float] | None = None,
+                 shot_noise: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Render a camera frame of the given board state.
 
     light_gradient: relative brightness falloff corner-to-corner (0.3 =
@@ -162,6 +188,21 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
     <0 = pincushion; cheap webcams sit around |k1| ≈ 0.03–0.08 at this
     normalization). The returned ground-truth corners are distorted
     through the same model.
+    glare: overhead-light specular glare saturating stone tops (0.6 ≈
+    clipped-white caps on glossy stones; the classification hazard is a
+    black stone whose cap reads white).
+    clutter: number of static foreign objects (capture bowls, a mug) on
+    the table around the board — detection hazards with stone-like discs
+    and board-like straight edges. Placement is deterministic per
+    jitter_seed (objects don't move between frames of a game).
+    rolling_shutter: (dx, dy) px — the full top-to-bottom scan displacement
+    of a CMOS rolling shutter under camera motion: row y shows the scene
+    shifted by (dx, dy)·y/H (vertical lines shear, the "jello" skew).
+    Ground-truth corners are displaced through the same model.
+    shot_noise: photon shot-noise gain — per-pixel noise std becomes
+    sqrt(noise² + shot_noise·I) (dark read-noise floor + signal-dependent
+    shot noise), replacing the flat gaussian grain; bright regions get
+    visibly noisier, as on a real sensor.
     Returns (frame uint8 RGB (H, W, 3), corners (4, 2) float32 (x, y)).
     """
     import cv2
@@ -175,7 +216,7 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
                              stone_jitter=stone_jitter,
                              jitter_key=jitter_seed if jitter_seed is not None
                              else seed, wood_texture=wood_texture,
-                             palette=palette)
+                             glare=glare, palette=palette)
     h, w = frame_hw
     corners = default_corners(frame_hw) if corners is None else \
         np.asarray(corners, np.float32)
@@ -193,6 +234,10 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
     mask = cv2.warpPerspective(np.full(canon.shape[:2], 255, np.uint8), M,
                                (w, h), flags=cv2.INTER_NEAREST)
     frame[mask > 0] = warped[mask > 0]
+    if clutter:
+        frame = _draw_clutter(frame, mask, corners, clutter,
+                              jitter_seed if jitter_seed is not None
+                              else seed)
     if shadow:
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         cx, cy = 0.65 * w, 0.4 * h
@@ -225,6 +270,21 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
         r_u = np.linalg.norm(pc, axis=1, keepdims=True) / s
         corners = (np.array([ccx, ccy], np.float32)
                    + pc * (1.0 + lens_k1 * r_u ** 2)).astype(np.float32)
+    if rolling_shutter is not None and any(rolling_shutter):
+        # CMOS scan skew: row y is read y/H of a frame-time later, so under
+        # camera motion it shows the scene displaced by (dx, dy)·y/H.
+        # Output (x, y) therefore samples the nominal (row-0-time) scene at
+        # (x − dx·y/H, y − dy·y/H).
+        dx, dy = float(rolling_shutter[0]), float(rolling_shutter[1])
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        t = yy / float(h)
+        frame = cv2.remap(frame, xx - dx * t, yy - dy * t, cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_REPLICATE)
+        # Ground truth moves with the rows: y_out = y/(1 − dy/H), then the
+        # x shear is evaluated at the row actually hit.
+        cy = corners[:, 1] / max(1e-6, 1.0 - dy / float(h))
+        corners = np.stack([corners[:, 0] + dx * cy / float(h), cy],
+                           axis=1).astype(np.float32)
     if motion_blur is not None:
         dx, dy = float(motion_blur[0]), float(motion_blur[1])
         n_k = max(3, int(np.hypot(dx, dy)) | 1)
@@ -259,7 +319,14 @@ def render_frame(labels: np.ndarray, corners: np.ndarray | None = None,
         f[..., 0] *= 1.0 + white_balance
         f[..., 2] *= 1.0 - white_balance
         frame = np.clip(f, 0, 255).astype(np.uint8)
-    if noise:
+    if shot_noise:
+        # Physical sensor model: read-noise floor (``noise``) + signal-
+        # dependent photon shot noise — std grows with sqrt(intensity).
+        f = frame.astype(np.float32)
+        std = np.sqrt(noise * noise + shot_noise * f)
+        frame = np.clip(f + rng.standard_normal(f.shape).astype(np.float32)
+                        * std, 0, 255).astype(np.uint8)
+    elif noise:
         frame = np.clip(frame.astype(np.float32)
                         + rng.normal(0, noise, frame.shape), 0, 255
                         ).astype(np.uint8)
@@ -315,6 +382,67 @@ def _draw_hand(frame: np.ndarray, hand, rng) -> np.ndarray:
                            int(f[1] + arm_dir[1] * 18)),
                  (int(f[0]), int(f[1])), _SKIN, 7)
     return cv2.addWeighted(overlay, 0.96, frame, 0.04, 0)
+
+
+def _draw_clutter(frame: np.ndarray, board_mask: np.ndarray,
+                  corners: np.ndarray, n: int, key: int) -> np.ndarray:
+    """Static foreign objects on the table around the board: capture bowls
+    (dark glossy discs holding stone-colored discs — the detection hazard
+    is stone-like circles OFF the lattice) and a mug (straight bright
+    edges — a competing quad candidate). Never overlaps the board slab
+    (real objects sit beside it); deterministic per ``key`` so objects
+    stay put across the frames of a game."""
+    import cv2
+
+    h, w = frame.shape[:2]
+    rng = np.random.default_rng((0xB071, key))
+    # Keep-out: the board hull, dilated by a real-world margin (players
+    # keep bowls a hand's width from the slab; a too-small margin also
+    # merges the objects' edge-density halos into the board's at the
+    # coarse resolution, which no component logic can then separate).
+    keep_out = cv2.dilate(board_mask, np.ones((25, 25), np.uint8))
+    out = frame.copy()
+    placed = 0
+    for _ in range(n * 12):
+        if placed >= n:
+            break
+        x = int(rng.uniform(0.04, 0.96) * w)
+        y = int(rng.uniform(0.04, 0.96) * h)
+        r = int(rng.uniform(0.035, 0.075) * min(h, w))
+        y0, y1 = max(0, y - r - 4), min(h, y + r + 4)
+        x0, x1 = max(0, x - r - 4), min(w, x + r + 4)
+        if keep_out[y0:y1, x0:x1].any():
+            continue
+        if placed % 3 == 2:
+            # A mug: bright rounded rectangle + elliptical rim — straight
+            # high-contrast edges near the board.
+            col = (rng.integers(150, 230),) * 3
+            cv2.rectangle(out, (x - r, y - int(r * 0.8)),
+                          (x + r, y + int(r * 0.8)),
+                          tuple(int(v) for v in col), -1)
+            cv2.ellipse(out, (x, y - int(r * 0.8)), (r, int(r * 0.35)),
+                        0, 0, 360, tuple(int(v * 0.8) for v in col), -1,
+                        cv2.LINE_AA)
+        else:
+            # A capture bowl: dark wooden disc with a rim highlight and a
+            # few captured stones inside (alternating bowls hold B and W).
+            wood = (int(rng.integers(50, 90)), int(rng.integers(35, 65)),
+                    int(rng.integers(20, 45)))
+            cv2.circle(out, (x, y), r, wood, -1, cv2.LINE_AA)
+            cv2.circle(out, (x, y), r,
+                       tuple(min(255, int(v * 1.6)) for v in wood), 2,
+                       cv2.LINE_AA)
+            stone_col = ((28, 26, 24) if placed % 3 == 0
+                         else (235, 233, 228))
+            for _s in range(int(rng.integers(3, 7))):
+                ang = rng.uniform(0, 2 * np.pi)
+                rad = rng.uniform(0, 0.55) * r
+                sr = max(2, int(r * 0.22))
+                cv2.circle(out, (int(x + rad * np.cos(ang)),
+                                 int(y + rad * np.sin(ang))), sr,
+                           stone_col, -1, cv2.LINE_AA)
+        placed += 1
+    return out
 
 
 def encode_roundtrip(frames, codec: str = "mp4v", fps: int = 25,
@@ -385,7 +513,9 @@ def render_game(moves: list[Move], frames_per_move=3,
                 gsize: int = guiconf.gsize, seed: int = 0,
                 empty_leadin: int = 2, hand_frames: int = 0,
                 flicker: float = 0.0, removal_lag: int = 0,
-                corners_fn=None, wb_drift: float = 0.0, **frame_kwargs):
+                corners_fn=None, wb_drift: float = 0.0,
+                rolling_shutter: float = 0.0, vfr: float = 0.0,
+                arm_rests=None, **frame_kwargs):
     """Yield (frame, state_labels) for a whole game: ``empty_leadin`` frames of
     the empty board, then ``frames_per_move`` frames after each move. Extra
     kwargs (stone_jitter, light_gradient, blur_sigma, shadow, wood_texture,
@@ -417,6 +547,22 @@ def render_game(moves: list[Move], frames_per_move=3,
     sweeps over the group on its final lingering frames when hand_frames
     is on. The yielded state is the RENDERED one (stale stones included) —
     it is what the frame shows; game truth is ``game_states(moves)``.
+
+    rolling_shutter > 0 shears each frame by that fraction of its own
+    inter-frame camera motion (CMOS scan skew: ~0.5–0.9 of frame time for
+    typical sensors) — only moving cameras (corners_fn) shear, and the
+    shear direction/size tracks the actual motion, bump frames included.
+
+    vfr > 0 simulates variable frame rate: with probability vfr/2 a frame
+    is an exact DUPLICATE of the previous one (encoder freeze — its state
+    label is the previous frame's), and with probability vfr/2 the camera
+    clock jumps 1–2 extra steps (dropped frames — per-frame motion steps
+    double or triple, stressing the tracker's continuity window).
+
+    arm_rests: iterable of (move_index, n_frames) — after that move's
+    normal frames, a hand + forearm RESTS motionless over the board for
+    n_frames (a player thinking with their arm in frame for multiple
+    seconds); votes under it must hold, not decay into phantom reads.
     """
     import cv2
 
@@ -472,13 +618,40 @@ def render_game(moves: list[Move], frames_per_move=3,
     #: stones; counts down across move boundaries (lag routinely spans them).
     linger: dict[tuple[int, int], list[int]] = {}
     prev_state = empty
+    rests = dict(arm_rests or ())
+    rng_vfr = np.random.default_rng(seed + 424242)
+    last_emit = None         # (frame, shown) of the previous rendered frame
 
     i = 0
-    for _ in range(empty_leadin):
-        frame, _ = render_frame(empty, corners_at(i), frame_hw, seed=seed + i,
-                                jitter_seed=seed, **frame_kwargs)
+
+    def render_one(shown_state, hand=None):
+        """One camera frame at the current clock ``i``: VFR anomalies,
+        motion-derived rolling shutter, then render. Returns
+        (frame, state_shown) — for a duplicated frame, the PREVIOUS pair."""
+        nonlocal i, last_emit
+        if vfr and last_emit is not None:
+            u = float(rng_vfr.uniform())
+            if u < vfr / 2.0:                 # encoder freeze: exact dup
+                return last_emit
+            if u > 1.0 - vfr / 2.0:           # dropped frames: clock jumps
+                i += int(rng_vfr.integers(1, 3))
+        kw = frame_kwargs
+        if rolling_shutter and i > 0:
+            v = (np.asarray(corners_at(i), np.float32)
+                 - np.asarray(corners_at(i - 1), np.float32)).mean(axis=0)
+            kw = dict(frame_kwargs,
+                      rolling_shutter=(rolling_shutter * float(v[0]),
+                                       rolling_shutter * float(v[1])))
+        frame, _ = render_frame(shown_state, corners_at(i), frame_hw,
+                                seed=seed + i, jitter_seed=seed, hand=hand,
+                                **kw)
         i += 1
-        yield expose(frame, False), empty
+        last_emit = (frame, shown_state)
+        return last_emit
+
+    for _ in range(empty_leadin):
+        frame, shown = render_one(empty)
+        yield expose(frame, False), shown
     for mi, (state, move) in enumerate(game_states(moves, gsize)):
         if removal_lag and (move.row, move.col) in linger:
             # The next move lands on a point whose captured stone is still
@@ -488,11 +661,8 @@ def render_game(moves: list[Move], frames_per_move=3,
             # see the vacated points empty before the stone arrives.
             linger.clear()
             for _ in range(fpm[mi]):
-                frame, _ = render_frame(prev_state, corners_at(i), frame_hw,
-                                        seed=seed + i, jitter_seed=seed,
-                                        **frame_kwargs)
-                i += 1
-                yield expose(frame, False), prev_state
+                frame, shown = render_one(prev_state)
+                yield expose(frame, False), shown
         if removal_lag:
             gone = (prev_state != 0) & (state == 0)
             for r, c in np.argwhere(gone):
@@ -526,11 +696,15 @@ def render_game(moves: list[Move], frames_per_move=3,
                     hand = (x, y,
                             1.0 - min(l for _, _, l in removing)
                             / float(hand_frames))
-            frame, _ = render_frame(shown, corners_at(i), frame_hw,
-                                    seed=seed + i, jitter_seed=seed,
-                                    hand=hand, **frame_kwargs)
-            i += 1
-            yield expose(frame, hand is not None), shown
+            frame, shown_out = render_one(shown, hand=hand)
+            yield expose(frame, hand is not None), shown_out
+        for _ in range(rests.get(mi, 0)):
+            # The player's arm RESTS over the board (multi-second
+            # occlusion): fingertip parked a few cells south of the move,
+            # motionless at full reach; AE keeps reacting to it.
+            rx, ry = to_frame_xy(min(gsize - 1, move.row + 3), move.col, i)
+            frame, shown_out = render_one(shown, hand=(rx, ry, 0.9))
+            yield expose(frame, True), shown_out
 
 
 def moves_from_sgf(path: str) -> list[Move]:
@@ -548,16 +722,22 @@ def capture_rich_moves(n: int = 24, gsize: int = guiconf.gsize,
     neighbors are liberties), so a reading that still shows the group
     pending physical removal looks like playable new moves.
     """
-    assert gsize >= 19, "the scripted set pieces assume a 19x19 board"
+    assert gsize >= 9, "the scripted set pieces need at least a 9x9 board"
+    gs, m = gsize, gsize // 2
+    # Tenuki spots scale with the board (9x9/13x13 work too) and are
+    # hand-placed clear of both capture clusters (top-left opening rows
+    # ≤3 / cols ≤4, center cross at (m, m)±1).
+    t = [(gs - 2, gs - 2), (gs - 3, 2), (gs - 2, gs - 5), (2, gs - 2),
+         (gs - 5, gs - 2)]
     script = [
-        # B builds the surround of W (2,2)+(2,3); W tenukis top-right.
-        (B, 3, 2), (W, 2, 2), (B, 2, 1), (W, 2, 3), (B, 1, 2), (W, 15, 15),
-        (B, 1, 3), (W, 16, 3), (B, 3, 3), (W, 13, 13),
+        # B builds the surround of W (2,2)+(2,3); W tenukis elsewhere.
+        (B, 3, 2), (W, 2, 2), (B, 2, 1), (W, 2, 3), (B, 1, 2), (W, *t[0]),
+        (B, 1, 3), (W, *t[1]), (B, 3, 3), (W, *t[2]),
         (B, 2, 4),                         # captures W (2,2) and (2,3)
-        # Single-stone capture of W (9,9).
-        (W, 9, 9), (B, 8, 9), (W, 5, 15), (B, 10, 9), (W, 4, 16),
-        (B, 9, 8), (W, 3, 15),
-        (B, 9, 10),                        # captures W (9,9)
+        # Single-stone capture of W at the board center.
+        (W, m, m), (B, m - 1, m), (W, *t[3]), (B, m + 1, m), (W, *t[4]),
+        (B, m, m - 1), (W, 3, gs - 4),
+        (B, m, m + 1),                     # captures W (m, m)
     ]
     rule = RuleUnsafe(gsize=gsize)
     moves = []
@@ -597,7 +777,12 @@ def gauntlet_scenario(n_moves: int = 19, seed: int = 11,
     captured stones are still pending removal, auto-exposure flicker,
     auto-white-balance hunting (±8% R/B gain random walk), the full
     realism pass (grain, vignette, defocus, gradient, shadow, jitter,
-    animated hand, walnut palette), and an mp4 encode round-trip.
+    animated hand, walnut palette), the tier-3 sensor/scene hazards
+    (rolling-shutter skew from the camera's own motion, shot+read sensor
+    noise, specular glare saturating stone tops, capture bowls + a mug on
+    the table, a multi-second resting-arm occlusion, variable frame rate
+    with duplicated and dropped frames), and an mp4 encode round-trip.
+    Runs at 9x9 and 13x13 as well as 19x19 (``gsize``).
 
     Reference parity: the reference was exercised on real recorded games
     where all of these co-occur (SURVEY §0.6, §4) — this is the closest
@@ -606,7 +791,12 @@ def gauntlet_scenario(n_moves: int = 19, seed: int = 11,
     from camkifu_tpu.config import cvconf
 
     moves = capture_rich_moves(max(n_moves, 19), gsize=gsize, seed=seed)
-    fpm = cvconf.vote_window + 3
+    # +6, not the usual +3: the VFR hazard replaces ~vfr/2 of the frames
+    # with duplicates of the previous position and the hand covers 2 more,
+    # so the distinct-observation budget per move must clear the vote
+    # window with margin (a real recording holds each position for
+    # hundreds of frames; this pacing is already compressed ~20×).
+    fpm = cvconf.vote_window + 6
     fpm_list = [fpm] * len(moves)
     fpm_list[13] += 36       # the players pause after the table is knocked
     fpm_list[-1] += 12       # trailing hold so the last move's votes commit
@@ -617,12 +807,18 @@ def gauntlet_scenario(n_moves: int = 19, seed: int = 11,
 
     base = default_corners(frame_hw)
     c0 = base.mean(axis=0)
+    # The camera's TOTAL excursion is fixed (10° rotation + 6% zoom over
+    # the whole game — the r3 envelope) and per-frame rates derive from the
+    # timeline length: rates hardcoded per frame once silently grew with a
+    # pacing change until the board's corner left the frame near the end,
+    # which no detector can fix.
+    total = leadin + sum(fpm_list)
 
     def cam(i):
-        # Handheld: drift ≤0.7 px/frame, rotation 0.04°/frame, zoom
-        # 0.02%/frame — all an order of magnitude under the jump trip.
-        th = np.deg2rad(0.04 * i)
-        s = 1.0 + 2e-4 * i
+        # Handheld: drift ≤0.7 px/frame, slow rotation and zoom — all an
+        # order of magnitude under the jump trip.
+        th = np.deg2rad(10.0) * i / total
+        s = 1.0 + 0.06 * i / total
         if i >= bump_at:                   # the knock: +2° and ~31 px, once
             th += np.deg2rad(2.0)
         rot = np.array([[np.cos(th), -np.sin(th)],
@@ -641,6 +837,8 @@ def gauntlet_scenario(n_moves: int = 19, seed: int = 11,
             hand_frames=2, flicker=0.12, wb_drift=0.08, removal_lag=60,
             stone_jitter=0.07, light_gradient=0.3, blur_sigma=1.2,
             shadow=0.18, wood_texture=0.10, vignette=0.22,
+            rolling_shutter=0.7, vfr=0.12, arm_rests=[(6, fpm)],
+            glare=0.5, clutter=3, shot_noise=0.4,
             palette="walnut"))
         return iter(encode_roundtrip(it))
 

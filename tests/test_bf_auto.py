@@ -187,9 +187,12 @@ def test_hysteresis_connectivity():
 
 
 def test_detect_batch_batched_stage1_matches_per_frame():
-    """detect_batch (batched stage 1 + host-mapped refine) must reproduce
-    the single-frame detect_corners path on every frame (VERDICT r2 item 7
-    restructure)."""
+    """detect_batch must agree with the single-frame detect_corners path on
+    every frame. Since r4 the batch may route through the shared-canvas
+    refine (tests/test_detect_shared.py), whose pin measures on the shared
+    rectification instead of each winner's own — agreement is within the
+    measured parity bound (~0.1 cell), not bit-exact; scores come from the
+    unchanged stage 1 and stay exact."""
     labels = np.zeros((19, 19), np.int8)
     labels[2, 3] = 1
     labels[10, 10] = 2
@@ -197,9 +200,11 @@ def test_detect_batch_batched_stage1_matches_per_frame():
               for s in (1, 2, 3)]
     fb = jnp.stack([jnp.asarray(f) for f in frames])
     corners_b, scores_b = bf_auto.detect_batch(fb)
+    cell = 0.84 * min(540, 960) / 18.0          # default_corners geometry
     for i in range(fb.shape[0]):
         c1, s1 = bf_auto.detect_corners(fb[i])
-        assert np.abs(np.asarray(c1) - np.asarray(corners_b[i])).max() < 0.1
+        assert np.abs(np.asarray(c1) - np.asarray(corners_b[i])).max() \
+            < 0.15 * cell
         assert abs(float(s1) - float(scores_b[i])) < 1e-3
 
 

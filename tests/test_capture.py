@@ -104,7 +104,7 @@ def test_device_feeder_order_and_counts():
     frames = [np.full((8, 8, 3), i, np.uint8) for i in range(10)]
     feeder = DeviceFeeder(ArrayCapture(frames), batch=4)
     got = []
-    for dev, n, done, last_host in feeder:
+    for dev, n, done, last_host, _arrivals in feeder:
         arr = np.asarray(dev)
         # Batches arrive padded to the static jit batch size; the tail
         # repeats the last real frame (one jit specialization — VERDICT r1).
@@ -225,7 +225,7 @@ def test_device_feeder_relays_midstream_capture_failure():
 
     feeder = DeviceFeeder(ExplodingCapture(), batch=4)
     it = iter(feeder)
-    frames, n, done, last = next(it)      # the good batch arrives intact
+    frames, n, done, last, _arr = next(it)   # the good batch arrives intact
     assert n == 4 and not done
     with _pytest.raises(RuntimeError, match="mid-stream") as exc:
         next(it)

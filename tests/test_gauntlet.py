@@ -24,20 +24,25 @@ all of these co-occur (SURVEY §0.6, §4) — this is the closest synthetic
 equivalent, and the bar is exact move-for-move agreement.
 """
 
+import pytest
+
 from camkifu_tpu.utils import synth
 
+pytestmark = pytest.mark.slow
 
-def test_gauntlet_end_to_end():
+
+@pytest.mark.parametrize("gsize", [19, 13, 9])
+def test_gauntlet_end_to_end(gsize):
     from camkifu_tpu.board.bf_auto import BoardFinderAuto
     from camkifu_tpu.core.capture import ArrayCapture
     from camkifu_tpu.core.controllerv import ControllerVSeq
     from camkifu_tpu.core.vmanager import VManagerSeq
     from camkifu_tpu.stone.sf_meta import SfMeta
 
-    moves, frames_factory = synth.gauntlet_scenario(19, seed=11)
+    moves, frames_factory = synth.gauntlet_scenario(19, seed=11, gsize=gsize)
     frames = list(frames_factory())
 
-    controller = ControllerVSeq()
+    controller = ControllerVSeq(gsize=gsize)
     vm = VManagerSeq(controller, video=None, bf_class=BoardFinderAuto,
                      sf_class=SfMeta, batch=16)
     vm.capture = ArrayCapture(frames)

@@ -1,0 +1,47 @@
+"""Live-mode frame-arrival → SGF-append latency (VERDICT r3 item 7).
+
+Drives the REAL threaded stack — PacedCamera → LiveCapture ring →
+DeviceFeeder → VManager worker → BoardFinderAuto/SfMeta → ControllerV pipe
+— and attributes each appended move to the first frame that showed its
+stone. The camera fps is scaled to what this 1-CPU host can actually
+sustain (a real deployment paces 30 fps against a chip that outruns it;
+the structural floors — batch fill, vote commit — scale with fps and are
+asserted against the measurement).
+"""
+
+import numpy as np
+import pytest
+
+from camkifu_tpu.utils.latency import PacedCamera, measure_live_latency
+
+
+def test_paced_camera_timing():
+    frames = [np.zeros((8, 8, 3), np.uint8)] * 10
+    cam = PacedCamera(frames, fps=50.0)
+    import time
+    t0 = time.perf_counter()
+    for _ in range(10):
+        ok, f = cam.read()
+        assert ok and f.shape == (8, 8, 3)
+    dt = time.perf_counter() - t0
+    assert 0.15 <= dt <= 1.0, dt          # ~0.18 s at 50 fps, paced
+    assert len(cam.emit_times) == 10
+    ok, _ = cam.read()
+    assert not ok                          # stream exhausted
+
+
+@pytest.mark.slow
+def test_live_latency_end_to_end():
+    rep = measure_live_latency(n_moves=3, fps=3.0, frame_hw=(360, 640),
+                               batch=8, seed=5, timeout_s=420.0)
+    assert rep["detected"] == rep["expected"], rep
+    # Every latency must exceed the structural vote-commit floor (a stone
+    # cannot legally commit before vote_window readings of it exist). No
+    # absolute roof: on this 1-CPU host the first-batch jit compile and
+    # compute-bound queueing dominate and vary run to run — the roof is
+    # the harness timeout itself. The real-hardware numbers live in
+    # PERF.md's latency section.
+    floor = rep["floor_vote_commit_s"]
+    assert all(v > floor * 0.8 for v in rep["latencies_s"]), rep
+    assert all(v < 420.0 for v in rep["latencies_s"]), rep
+    assert rep["p50_s"] >= 0.0
