@@ -139,62 +139,6 @@ def _coarse_from_mag(mag: jnp.ndarray, mag_c: jnp.ndarray | None):
     density = _box_blur((mag > 0).astype(jnp.float32), radius=7)
     mask = density > 0.06
 
-    # Clutter defense (tier-3 hazard, r4): the extreme-point hull below is
-    # inflatable by ANY dense off-board object (capture bowls full of
-    # stone-like discs, a bright mug — measured: coarse corner dragged
-    # 300+ px to a bowl at the frame edge). Keep only the dominant
-    # connected dense region: seed at the densest point of the heavily
-    # eroded mask (erosion kills bowl-sized blobs, so the seed provably
-    # lands on the board — calibrated over clutter/clean/defocused-empty/
-    # walnut-hard scenes), then flood-fill through the mask by iterated
-    # masked dilation. Falls back to the full mask when the flood covers
-    # too little of it (a fragmented sparse board) — the exact pre-r4
-    # behavior.
-    # Select the LARGEST connected dense component, with no seed heuristic:
-    # a seeded flood was tried and failed twice — seeding at the densest
-    # eroded point lands on a capture bowl FULL of stones (denser than a
-    # crowded walnut board), and a radius-3 flood bridges the ≤3 px gap
-    # between the board's halo and adjacent clutter. Instead: iterated
-    # max-pool label propagation (each component converges to its max
-    # linear index) on a 2-px-ERODED core — erosion widens every
-    # inter-object gap past the 5×5 propagation window while the board's
-    # own halo band (≥14 px thick, the radius-7 blur) survives — then a
-    # scatter-add sizes the components and the biggest one wins. The
-    # propagation count covers the longest in-core path, which on sparse
-    # boards runs around the slab rim (the interior can be disconnected
-    # islands; 96 steps once left the far corner unreached).
-    # Labels propagate at HALF resolution: min-pool 2×2 of the core (gaps
-    # can only widen — no false bridging; the board's ≥10 px core band
-    # survives), which quarters the per-step cost and halves the path
-    # length, so 256 5×5 steps (reach 512) cover the longest rim path
-    # (≤ ~420 at 128² — a full-res budget of 768 was measured SHORT of a
-    # rotated board's ~840 px rim and returned a fragment of the board).
-    core = _box_blur(mask.astype(jnp.float32), 2) > 0.999
-    h2 = res // 2
-    core2 = core[:h2 * 2, :h2 * 2].reshape(h2, 2, h2, 2).all(axis=(1, 3))
-    idx0 = jnp.arange(1, h2 * h2 + 1, dtype=jnp.int32).reshape(h2, h2)
-    ids0 = jnp.where(core2, idx0, 0)
-
-    def _prop(_, ids):
-        m = jax.lax.reduce_window(ids, jnp.int32(0), jax.lax.max,
-                                  (5, 5), (1, 1), "SAME")
-        return jnp.where(core2, m, 0)
-
-    ids = jax.lax.fori_loop(0, 256, _prop, ids0)
-    sizes = jnp.zeros((h2 * h2 + 1,), jnp.int32) \
-        .at[ids.reshape(-1)].add(core2.reshape(-1).astype(jnp.int32)) \
-        .at[0].set(0)
-    best = jnp.argmax(sizes)
-    comp2 = ids == best
-    comp = jnp.repeat(jnp.repeat(comp2, 2, axis=0), 2, axis=1)
-    comp = jnp.pad(comp, ((0, res - h2 * 2), (0, res - h2 * 2)))
-    # Restore the guard ring lost to erosion + min-pool (dilate by their
-    # sum, back inside the original mask — too small a step to annex the
-    # clutter mass across the inter-object gap).
-    comp = (_box_blur(comp.astype(jnp.float32), 3) > 1e-6) & mask
-    flood_ok = 4 * sizes[best] > 0.25 * jnp.maximum(mask.sum(), 1)
-    mask = jnp.where(flood_ok, comp, mask)
-
     ys = jax.lax.broadcasted_iota(jnp.float32, (res, res), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (res, res), 1)
 
@@ -439,27 +383,10 @@ def _pin_corners(gray: jnp.ndarray, quad: jnp.ndarray, gsize: int,
     extrapolating to the outer-line heights recovers each corner's own
     coordinates, i.e. the full projective correction to first order.
     """
-    H = _rect_H(quad, 0.10, res)
-    rect = _sample_rect(gray, H, res)
-    return _pin_corners_on_rect(rect, H, quad, gsize)
-
-
-def _pin_corners_on_rect(rect: jnp.ndarray, H: jnp.ndarray,
-                         quad: jnp.ndarray, gsize: int):
-    """_pin_corners measured on an ALREADY-rectified canvas.
-
-    ``rect`` was sampled through ``H`` (rect → frame); ``quad`` is the
-    winning candidate in frame coordinates. The pin's snap/fit tolerates a
-    canvas rectified by a *nearby* quad instead of the winner itself (the
-    per-half quadratic fit absorbs the residual offset/slant), which is
-    what lets the batched redetect path reuse ONE shared-canvas gather per
-    frame instead of paying a second per-frame rectification — the second
-    of the two ~7 ms single-frame gathers that dominated the redetect rate
-    (tools/redetect_probe2.py, r4).
-    """
     from camkifu_tpu.ops.warp import _inv3
 
-    res = rect.shape[0]
+    H = _rect_H(quad, 0.10, res)
+    rect = _sample_rect(gray, H, res)
     _, _, ct, cb, rl, rr = _split_profiles(rect, gsize)
     rc = apply_homography(_inv3(H), quad)
     ox = 0.5 * (rc[0, 0] + rc[3, 0])
@@ -1009,52 +936,6 @@ def _refine_one(gray: jnp.ndarray, quad: jnp.ndarray, score,
                 gsize: int = 19, refine_iters: int = 1):
     """Jitted per-frame stages 2–3 for callers that ran stage 1 batched."""
     return _detect_refine(gray, quad, score, gsize, refine_iters)
-
-
-@functools.partial(jax.jit, static_argnames=("gsize",))
-def _refine_shared_batch(grays: jnp.ndarray, shared_quad: jnp.ndarray,
-                         quads: jnp.ndarray, gsize: int = 19):
-    """Batched line-dominated refine on ONE shared rectification canvas.
-
-    The redetect wall, measured on chip (tools/redetect_probe*.py, r4): the
-    per-frame refine is two ~7 ms rectification gathers (refine + pin) —
-    a SINGLE frame's gather has no batchable minor dimension and
-    scalarizes (~70× the per-tap rate of the batch-shared classify warp),
-    and vmapping per-frame quads hits the varying-index gather cliff
-    (11.8 ms/frame, no win). The fix is the tracking engine's idiom applied
-    to detection: rectify ALL frames of the batch through the homography of
-    the batch-median stage-1 quad — indices shared across the batch, the
-    fast gather shape — then measure each frame's OWN lattice on its own
-    canvas: per-frame comb race, 2D evidence ranking, and the per-half
-    sub-pixel pin, all on the shared canvas (no second gather). Each
-    frame's corners still come exclusively from its own pixels; the shared
-    quad only chooses the sampling grid.
-
-    Valid when every frame is line-dominated (score > 0.55) and the
-    stage-1 quads agree to a fraction of a cell (a video batch; the router
-    in detect_batch enforces both and falls back per-frame otherwise).
-    Returns (corners (B, 4, 2), derotate deltas (B,), concentrations (B,))
-    — the caller re-runs frames whose derotate trip would have fired, since
-    the de-rotation pass needs a per-frame re-rectification.
-    """
-    with jax.default_matmul_precision("float32"):
-        res = REFINE_RES
-        H = _rect_H(shared_quad, 0.10, res)
-        rects = jax.vmap(lambda g: _sample_rect(g, H, res))(grays)
-        Hinv = jnp.linalg.inv(H)
-
-        def per_frame(rect, quad):
-            colp, rowp = _profiles_of(rect, gsize)
-            _, vc1, _ = _fit_combs_multi(H, colp, rowp, gsize, (1.0, 0.0))
-            E = _evidence_map(rect, gsize)
-            cell = jnp.linalg.norm(quad[1] - quad[0]) / (gsize + 0.0)
-            rank1 = _rank_evidence(vc1, E, Hinv, quad, cell, gsize)
-            w1 = vc1[jnp.argmax(rank1)]
-            pin = _pin_corners_on_rect(rect, H, w1, gsize)
-            delta, conc = _resid_rotation(rect)
-            return pin.astype(jnp.float32), delta, conc
-
-        return jax.vmap(per_frame)(rects, quads)
 
 
 @functools.partial(jax.jit, static_argnames=("res", "gsize", "refine_iters"))
@@ -1639,9 +1520,6 @@ def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
         try:
             grays, quads, scores = _detect_prepare_batch(frames, res)
             _BATCH_STAGE1_OK = True
-            routed = _detect_batch_routed(grays, quads, scores, gsize)
-            if routed is not None:
-                return routed, scores
             corners = [_refine_one(grays[i], quads[i], scores[i], gsize)
                        for i in range(frames.shape[0])]
             return jnp.stack(corners), scores
@@ -1660,54 +1538,6 @@ def detect_batch(frames: jnp.ndarray, res: int = cvconf.bf_resolution,
 
 
 _BATCH_STAGE1_OK: bool | None = None
-
-#: Max stage-1 quad deviation from the batch median (in cells) for the
-#: shared-canvas refine: beyond this the shared sampling grid would crop or
-#: smear a frame's lattice (independent stills, a camera bump inside the
-#: batch) and the per-frame path is the honest route. Handheld drift within
-#: a batch measures ≲0.1 cell.
-SHARED_REFINE_SPREAD = 0.35
-
-#: Ablation switch for the shared-canvas batched refine (tests/debugging).
-SHARED_REFINE_ENABLED = True
-
-
-@functools.partial(jax.jit, static_argnames=("gsize",))
-def _route_and_refine_shared(grays, quads, scores, gsize: int):
-    """Shared-canvas refine + its own validity verdict, in ONE dispatch.
-
-    Everything the routing decision needs (median quad, spread, scores,
-    derotate trips) is computed ON DEVICE and folded into a single boolean,
-    so the host pays exactly one tiny fetch per batch. An early host-side
-    version fetched quads/scores before routing and deltas/concs after —
-    three device→host round-trips per batch that cost more than the entire
-    refine through this environment's RPC tunnel (probe4: e2e 16 ms/frame
-    while stage1 + shared refine measured 3.4)."""
-    med = jnp.median(quads, axis=0)
-    cell = jnp.linalg.norm(med[1] - med[0]) / max(gsize - 1, 1)
-    ok = jnp.isfinite(quads).all() & (scores > 0.55).all() \
-        & (cell > 1e-6) \
-        & (jnp.abs(quads - med).max() <= SHARED_REFINE_SPREAD * cell)
-    corners, deltas, concs = _refine_shared_batch(grays, med, quads, gsize)
-    trip = ((jnp.abs(deltas * (2.0 / 3.0)) > DEROTATE_TRIP)
-            & (concs > DEROTATE_MIN_CONC)).any()
-    ok = ok & ~trip & jnp.isfinite(corners).all()
-    return corners, ok
-
-
-def _detect_batch_routed(grays, quads, scores, gsize: int):
-    """Route a batch to the shared-canvas refine when valid, else None.
-
-    Shared-canvas validity (see _refine_shared_batch): every frame
-    line-dominated, stage-1 quads within SHARED_REFINE_SPREAD of their
-    median, and no frame's derotate trip firing (checked from the shared
-    canvas itself; any trip → the whole batch takes the per-frame path,
-    which is bit-identical to detect_corners' refine). One host sync per
-    batch: the validity boolean; the corners stay on device."""
-    if not SHARED_REFINE_ENABLED or grays.shape[0] < 2:
-        return None
-    corners, ok = _route_and_refine_shared(grays, quads, scores, gsize)
-    return corners if bool(ok) else None
 
 
 def detect_batch_stable(frames: jnp.ndarray,
@@ -2516,44 +2346,14 @@ class BoardFinderAuto(BoardFinder):
           and flag it suspect so stones finders discard the batch too.
         """
         cb = np.asarray(corners_batch)
-        seq = cb if self._prev_tracked_last is None else \
-            np.concatenate([self._prev_tracked_last[None], cb])
-        steps = np.linalg.norm(np.diff(seq, axis=0), axis=-1)      # (S-1, 4)
+        steps = np.linalg.norm(np.diff(cb, axis=0), axis=-1)       # (B-1, 4)
+        if self._prev_tracked_last is not None:
+            steps = np.concatenate([np.linalg.norm(
+                cb[:1] - self._prev_tracked_last[None], axis=-1), steps])
         cell = np.linalg.norm(cb[-1, 1] - cb[-1, 0]) / (self.gsize - 1)
         max_step = float(steps.max()) if steps.size else 0.0
         self.metadata["track_step"] = round(max_step, 2)
-        jump = cell > 1.0 and max_step > TRACK_JUMP_TRIP * cell
-        if jump:
-            # A discontinuity is a LEVEL SHIFT, not a spike: after a real
-            # bump the lattice stays at the new position, while a 1–2-frame
-            # measurement excursion (deep AE dip + shot noise + glare on a
-            # dark board — the r4 gauntlet's combination, which stays just
-            # above the sharpness gate) returns home. Trip only when the
-            # median of the following frames remains displaced from the
-            # pre-jump pose; a confirmed spike is absorbed (votes already
-            # smooth the one misaligned reading). A jump too close to the
-            # batch tail to verify defers: the continuity reference stays
-            # at the pre-jump pose, so the next batch re-evaluates it with
-            # full evidence.
-            j = int(np.argmax(
-                (np.max(steps, axis=-1) > TRACK_JUMP_TRIP * cell)))
-            after = seq[j + 2:j + 6]
-            if len(after) >= 2:
-                disp = np.linalg.norm(np.median(after, axis=0) - seq[j],
-                                      axis=-1).max()
-                if disp <= TRACK_JUMP_TRIP * cell:
-                    jump = False                      # spike: absorbed
-                    self._prev_tracked_last = cb[-1]
-                    self.metadata["track_spike"] = round(max_step, 2)
-            else:
-                jump = False                          # defer to next batch
-                self._prev_tracked_last = seq[j]
-            if not jump:
-                self.corners_batch = corners_batch
-                self.track_seed = new_seed
-                self.metadata["track_sharpness"] = round(mean_sharp, 2)
-                return
-        if jump:
+        if cell > 1.0 and max_step > TRACK_JUMP_TRIP * cell:
             self._since_detect = 10 ** 9      # force re-detect next batch
             self.track_seed = None
             self.corners_batch = None
