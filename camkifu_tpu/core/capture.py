@@ -412,7 +412,9 @@ class LiveCapture(CaptureBase):
     def frame_size(self):
         with self._lock:
             if self._ring:
-                return self._ring[-1].shape[:2]
+                # Ring entries are (frame, arrival_time) tuples since the
+                # arrival-latency tracking landed — index the frame.
+                return self._ring[-1][0].shape[:2]
         return (0, 0)
 
     def release(self) -> None:

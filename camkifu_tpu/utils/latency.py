@@ -67,23 +67,46 @@ def measure_live_latency(n_moves: int = 4, fps: float = 4.0,
                          frame_hw=(360, 640), batch: int = 8,
                          max_wait_s: float = 2.0, gsize: int = 19,
                          seed: int = 3, frames_per_move: int | None = None,
-                         timeout_s: float = 300.0) -> dict:
+                         timeout_s: float = 300.0,
+                         warmup: bool = True) -> dict:
     """Render a synth game, play it through a paced camera into the full
     threaded runtime, and measure frame-arrival → SGF-append latency.
 
     Returns a dict with per-move latencies (s), p50/p99, the number of
     moves detected/expected, and the structural floors (batch fill, vote
     commit) for the chosen fps/batch.
+
+    ``warmup`` first runs a short throwaway game of the SAME shapes through
+    the synchronous pipeline in-process, so the live run measures steady
+    state rather than executable staging: even with the persistent compile
+    cache warm on disk, each of the pipeline's jitted entry points pays
+    trace + cache-load + device-upload on its first call in a process —
+    measured ~150 s total through this tunnel, longer than the whole paced
+    clip, which otherwise turns every "latency" into (end of warmup −
+    frame emission). A real deployment warms once at startup the same way.
     """
     from camkifu_tpu.board.bf_auto import BoardFinderAuto
     from camkifu_tpu.config import cvconf
     from camkifu_tpu.core.capture import LiveCapture
     from camkifu_tpu.core.controllerv import ControllerV
-    from camkifu_tpu.core.vmanager import VManager
+    from camkifu_tpu.core.vmanager import VManager, VManagerSeq
     from camkifu_tpu.stone.sf_meta import SfMeta
     from camkifu_tpu.utils import synth
 
     fpm = frames_per_move or (cvconf.vote_window + 6)
+    warmup_s = 0.0
+    if warmup:
+        t0 = time.perf_counter()
+        wmoves = synth.sample_moves(2, gsize=gsize, seed=seed + 1)
+        wframes = [f for f, _ in synth.render_game(
+            wmoves, frames_per_move=fpm, frame_hw=frame_hw, seed=seed + 1,
+            gsize=gsize, empty_leadin=4)]
+        wctl = ControllerV(gsize=gsize)
+        wvm = VManagerSeq(wctl, video=wframes, bf_class=BoardFinderAuto,
+                          sf_class=SfMeta, batch=batch)
+        wvm.run()
+        wctl.process_pipe()
+        warmup_s = time.perf_counter() - t0
     moves = synth.sample_moves(n_moves, gsize=gsize, seed=seed)
     leadin = 4
     frames = [f for f, _ in synth.render_game(
@@ -136,6 +159,7 @@ def measure_live_latency(n_moves: int = 4, fps: float = 4.0,
         "latencies_s": [round(v, 3) for v in lat],
         "floor_batch_fill_s": round(min(batch / fps, max_wait_s), 3),
         "floor_vote_commit_s": round(cvconf.vote_window / fps, 3),
+        "warmup_s": round(warmup_s, 1),
     }
     if lat:
         rep["p50_s"] = round(float(np.percentile(lat, 50)), 3)
@@ -156,11 +180,14 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--max-wait-s", type=float, default=2.0)
     ap.add_argument("--hw", type=str, default="360x640")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the in-process steady-state warmup pass")
     args = ap.parse_args(argv)
     h, w = (int(v) for v in args.hw.split("x"))
     rep = measure_live_latency(n_moves=args.moves, fps=args.fps,
                                frame_hw=(h, w), batch=args.batch,
-                               max_wait_s=args.max_wait_s)
+                               max_wait_s=args.max_wait_s,
+                               warmup=not args.no_warmup)
     print(json.dumps(rep, indent=2))
     return 0
 

@@ -47,7 +47,25 @@ FLAKY_CHILD = (
 )
 
 
-def _run(stub, tmp_path, attempts=2, contact_timeout=2.0, stagger=1.0):
+_PY_STARTUP_S = None
+
+
+def _py_startup_s() -> float:
+    """Measured bare-interpreter startup: this environment's sitecustomize
+    (axon site) costs SECONDS per process (measured 4.2 s r5, ~50 ms on a
+    normal host), so a fixed 2 s first-contact timeout can never be met by
+    even a healthy child. Scale the test timeouts to the machine."""
+    global _PY_STARTUP_S
+    if _PY_STARTUP_S is None:
+        t0 = time.monotonic()
+        subprocess.run([sys.executable, "-c", "pass"], timeout=60)
+        _PY_STARTUP_S = time.monotonic() - t0
+    return _PY_STARTUP_S
+
+
+def _run(stub, tmp_path, attempts=2, contact_timeout=None, stagger=1.0):
+    if contact_timeout is None:
+        contact_timeout = max(2.0, 4.0 * _py_startup_s())
     env = dict(os.environ,
                CK_BENCH_CHILD_STUB=stub,
                CK_BENCH_STATE_DIR=str(tmp_path),
@@ -56,7 +74,7 @@ def _run(stub, tmp_path, attempts=2, contact_timeout=2.0, stagger=1.0):
                CK_BENCH_STAGGER_S=str(stagger),
                CK_BENCH_CHILD_BUDGET_S="30")
     return subprocess.run([sys.executable, BENCH], env=env,
-                          capture_output=True, text=True, timeout=120)
+                          capture_output=True, text=True, timeout=300)
 
 
 def test_healthy_child_single_json_line(tmp_path):

@@ -54,6 +54,22 @@ def test_live_capture_latest_wins(monkeypatch):
     assert not live.cap.opened
 
 
+def test_live_capture_frame_size(monkeypatch):
+    """frame_size must unpack the (frame, arrival_time) ring entries
+    rather than indexing the tuple as if it were the frame itself."""
+    import cv2
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCamera)
+    live = LiveCapture(0, ring=4)
+    try:
+        deadline = time.time() + 2.0
+        while live.frame_size == (0, 0) and time.time() < deadline:
+            time.sleep(0.005)
+        assert live.frame_size == (32, 48)
+    finally:
+        live.release()
+
+
 def test_live_capture_bounds_crop(monkeypatch):
     import cv2
 

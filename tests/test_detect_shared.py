@@ -55,6 +55,50 @@ def test_detect_batch_end_to_end_uses_route():
     assert (np.asarray(scores) > 0.55).all()
 
 
+def test_large_batch_routes_per_chunk():
+    """B=32 handheld drift must keep the shared route via per-chunk
+    medians (r5): the whole-batch median canvas stopped validating as the
+    batch grew — at B=32 the drifting quads spread past
+    SHARED_REFINE_SPREAD of the ONE median and the router fell back,
+    making B=32 redetect SLOWER than B=8 on chip (75 vs 151 fps)."""
+    frames, gts = _drift_batch(b=32, drift=4.0)
+    grays, quads, scores = bf_auto._detect_prepare_batch(
+        jnp.asarray(frames), cvconf.bf_resolution)
+    corners, oks = bf_auto._route_and_refine_chunked(
+        grays, quads, scores, 19, bf_auto.SHARED_CHUNK)
+    assert np.asarray(oks).all(), np.asarray(oks)
+    assert np.abs(np.asarray(corners) - gts).max() < 8.0
+    # And the public API returns the routed result for the same batch.
+    routed = bf_auto._detect_batch_routed(grays, quads, scores, 19)
+    assert routed is not None
+    assert np.abs(np.asarray(routed) - np.asarray(corners)).max() == 0.0
+
+
+def test_mixed_chunk_validity_merges_paths():
+    """One bad chunk (saturated frames) must fall back per frame while the
+    good chunk keeps its shared-canvas result."""
+    good, gts = _drift_batch(b=bf_auto.SHARED_CHUNK)
+    labels = np.zeros((19, 19), np.int8)
+    rng = np.random.default_rng(2)
+    idx = rng.choice(361, 220, replace=False)
+    labels.flat[idx[::2]] = 1
+    labels.flat[idx[1::2]] = 2
+    sat, sat_gt = synth.render_frame(labels, None, (720, 1280))
+    frames = np.concatenate(
+        [good, np.stack([sat] * bf_auto.SHARED_CHUNK)])
+    grays, quads, scores = bf_auto._detect_prepare_batch(
+        jnp.asarray(frames), cvconf.bf_resolution)
+    sat_scores = np.asarray(scores)[bf_auto.SHARED_CHUNK:]
+    routed = bf_auto._detect_batch_routed(grays, quads, scores, 19)
+    if (sat_scores <= 0.55).any():
+        # The saturated chunk fails validity; the good chunk's frames must
+        # still come back accurate through the merged result.
+        assert routed is not None
+        assert np.abs(np.asarray(routed)[:bf_auto.SHARED_CHUNK]
+                      - gts).max() < 8.0
+        assert np.isfinite(np.asarray(routed)).all()
+
+
 def test_route_refused_for_disjoint_stills():
     """Independent stills with different poses must take the per-frame
     path: the shared canvas would crop/smear the outlier's lattice."""

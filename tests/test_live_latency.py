@@ -30,6 +30,25 @@ def test_paced_camera_timing():
     assert not ok                          # stream exhausted
 
 
+def test_perf_md_latency_closeout_consistent():
+    """Non-slow smoke (VERDICT r4 item 2): PERF.md's recorded live-latency
+    close-out must stay present and self-consistent — p50 ≤ p99, both
+    above the structural floor the config implies (fill 2.0 + vote commit
+    1.75 at 4 fps / batch 8), and neither degenerate nor stale-placeholder.
+    """
+    import pathlib
+    import re
+
+    text = (pathlib.Path(__file__).parent.parent / "PERF.md").read_text()
+    assert "close-out table once the e2e suite lands" not in text
+    p50 = re.search(r"p50 frame→SGF \| \*\*([\d.]+) s\*\*", text)
+    p99 = re.search(r"p99 frame→SGF \| \*\*([\d.]+) s\*\*", text)
+    assert p50 and p99, "PERF.md latency close-out table missing"
+    p50, p99 = float(p50.group(1)), float(p99.group(1))
+    floor = 2.0 + 1.75
+    assert floor <= p50 <= p99 <= 60.0, (p50, p99)
+
+
 @pytest.mark.slow
 def test_live_latency_end_to_end():
     rep = measure_live_latency(n_moves=3, fps=3.0, frame_hw=(360, 640),
