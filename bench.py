@@ -439,10 +439,13 @@ def _bench_main() -> None:
     # the batch API (batched stage 1 incl. the batch-grid Pallas edge
     # kernel + host-mapped per-frame refine; see detect_batch's docstring,
     # VERDICT r2 item 7).
-    # Batch 32 (not 8): every frame is still fully redetected, but the
-    # router's one host sync per batch amortizes over more frames — the
-    # same pipeline-batch reasoning as the classify configs.
-    redet_n = 32
+    # Batch 64 (was 32, was 8): every frame is still fully redetected, but
+    # the per-batch fixed cost amortizes over more frames — the same
+    # pipeline-batch reasoning as the classify configs (c2 runs at 128+).
+    # Measured r5: the fixed cost is ~32 ms/batch (tunnel dispatch floor +
+    # router sync) against ~2.8 ms/frame marginal, so B=32 left ~1 ms/frame
+    # on the table.
+    redet_n = 64
     det_s = _timeit(lambda: bf_auto.detect_batch(f1080_b[:redet_n])[0],
                     fence, reps=3)
     c4_full_redetect_fps = redet_n / det_s

@@ -219,7 +219,8 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
 
     gsize = guiconf.gsize
     if video_spec.startswith("synth:"):
-        # synth:N[:seed][:hard|real|gauntlet][:flicker][:caps][:palette] —
+        # synth:N[:seed][:hard|real|gauntlet][:flicker][:caps][:t3]
+        # [:palette] —
         # rendered game with known
         # ground truth; 'hard' adds stone jitter, a 30% lighting gradient,
         # defocus blur, and a soft shadow (the adversarial eval for the
@@ -279,16 +280,24 @@ def check(video_spec: str, ref_sgf: str | None, corners=None,
             # filter and the explained-contradiction gate end-to-end.
             from camkifu_tpu.stone.stonesfinder import BULK_CORRECT_AFTER
             game_kw["removal_lag"] = BULK_CORRECT_AFTER + 20
+        if "t3" in rest:
+            # Tier-3 sensor/scene hazards on top of 'real': specular glare
+            # saturating stone tops (white caps on black stones — the
+            # classical ensemble's hardest classification case) and
+            # shot/read sensor noise. (Rolling shutter and clutter are
+            # camera/scene-motion hazards; they live in the gauntlet.)
+            hard_kw.update(glare=0.5, shot_noise=0.4)
         palette = next((p for p in rest if p in synth.PALETTES), None)
         if palette:
             hard_kw["palette"] = palette
         bad = [p for p in rest
-               if not (p.isdigit() or p in ("hard", "real", "flicker", "caps")
+               if not (p.isdigit()
+                       or p in ("hard", "real", "flicker", "caps", "t3")
                        or p in synth.PALETTES)]
         if bad:
             raise ValueError(
                 f"unknown synth spec token(s) {bad}: expected a seed, "
-                f"'hard'/'real'/'flicker'/'caps', or a palette in "
+                f"'hard'/'real'/'flicker'/'caps'/'t3', or a palette in "
                 f"{sorted(synth.PALETTES)}")
         moves = (synth.capture_rich_moves(n_moves, seed=seed)
                  if "caps" in rest else
@@ -381,9 +390,10 @@ def main(argv=None) -> int:
         description="Score the vision pipeline against a reference SGF.")
     ap.add_argument("video",
                     help="video file, or synth:N[:seed][:hard|real|"
-                         "gauntlet][:flicker][:caps][:palette] — "
+                         "gauntlet][:flicker][:caps][:t3][:palette] — "
                          "'gauntlet' runs the everything-at-once moving-"
-                         "camera scenario through the full runtime")
+                         "camera scenario through the full runtime; 't3' "
+                         "adds specular glare + sensor shot noise")
     ap.add_argument("sgf", nargs="?", default=None,
                     help="reference SGF ('auto' with synth: to force "
                          "auto board detection)")

@@ -85,12 +85,15 @@ def harvest_patches(n_boards: int = 40, frame_hw=(720, 1280), seed: int = 0,
             idx = rng.choice(361, n, replace=False)
             labels.flat[idx[::2]] = 1
             labels.flat[idx[1::2]] = 2
-        persp = float(rng.uniform(0.03, 0.25))
+        persp = float(rng.uniform(0.03, 0.30))
         corners = synth.default_corners(frame_hw, perspective=persp)
         # Cycle wood palettes and sample the adversarial-eval degradation
-        # ranges (lighting gradient, defocus, shadow, and the r3 'real'
-        # additions: wood-grain texture, vignetting) so the voter is not
-        # tuned to one board look or to clean studio frames.
+        # ranges (lighting gradient, defocus, shadow, the r3 'real'
+        # additions: wood-grain texture, vignetting, and the r5 tier-3
+        # hazards: specular GLARE saturating stone tops — white pixels on
+        # black stones, the classical ensemble's hardest measured
+        # classification case — and shot/read sensor noise) so the voter
+        # is not tuned to one board look or to clean studio frames.
         frame, _ = synth.render_frame(
             labels, corners, frame_hw, seed=int(rng.integers(1 << 30)),
             stone_jitter=0.06, palette=palettes[b % len(palettes)],
@@ -98,7 +101,9 @@ def harvest_patches(n_boards: int = 40, frame_hw=(720, 1280), seed: int = 0,
             blur_sigma=float(rng.choice([0.0, 0.0, 0.8, 1.4])),
             shadow=float(rng.choice([0.0, 0.0, 0.15, 0.25])),
             wood_texture=float(rng.choice([0.0, 0.08, 0.12])),
-            vignette=float(rng.choice([0.0, 0.0, 0.22])))
+            vignette=float(rng.choice([0.0, 0.0, 0.22])),
+            glare=float(rng.choice([0.0, 0.0, 0.4, 0.6])),
+            shot_noise=float(rng.choice([0.0, 0.0, 0.3, 0.5])))
         # Warp through PERTURBED corners (small similarity error: rotation
         # up to ~1.2°, a few px of shift): the runtime feeds the classifier
         # canonicals with exactly this kind of residual (tracking measures

@@ -175,11 +175,12 @@ def main():
     print(f"d  e2e B=8               : {t_e2e / B * 1e3:6.2f} ms/frame "
           f"({B / t_e2e:6.1f} fps)")
 
-    f32 = jax.device_put(jnp.asarray(make_frames(32)))
-    fence(f32)
-    t_e32 = timeit(lambda: bf_auto.detect_batch(f32)[0], fence, reps=3)
-    print(f"d  e2e B=32              : {t_e32 / 32 * 1e3:6.2f} ms/frame "
-          f"({32 / t_e32:6.1f} fps)")
+    for bb in (32, 64):
+        fb = jax.device_put(jnp.asarray(make_frames(bb)))
+        fence(fb)
+        t_eb = timeit(lambda: bf_auto.detect_batch(fb)[0], fence, reps=3)
+        print(f"d  e2e B={bb:<3d}            : {t_eb / bb * 1e3:6.2f} ms/frame "
+              f"({bb / t_eb:6.1f} fps)")
     print(f"device: {jax.devices()[0]}")
 
 
